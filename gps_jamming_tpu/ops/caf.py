@@ -1,0 +1,100 @@
+"""Cross-ambiguity function (CAF): delay x Doppler correlation surfaces.
+
+The flagship batched kernel of the framework. Generalizes the reference's
+acquisition correlator (`pcorrelator` + `cpxconv`, sdrcmn.c:124-147/:742-773),
+which evaluates one (Doppler, all-lags) row at a time per channel thread, into
+a single batched computation over (channel/PRN x Doppler x lag) that XLA maps
+onto large batched FFTs — the natural TPU formulation (SURVEY.md §2 TPU
+mapping notes).
+
+Two flavours:
+- `caf_surface`: signal vs precomputed replica FFT (GNSS acquisition).
+- `caf_pair`: signal vs signal (TDOA/FDOA between antenna pairs) — a
+  capability the reference only approximates with zero-Doppler xcorr.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def doppler_bins(max_hz: float, step_hz: float) -> np.ndarray:
+    """Symmetric Doppler grid, matching sdrinit.c:182-185 (71 bins default)."""
+    n = int(round(2 * max_hz / step_hz)) + 1
+    return (np.arange(n) * step_hz - max_hz).astype(np.float32)
+
+
+def _doppler_mix(x: jax.Array, freqs: jax.Array, sample_rate: float) -> jax.Array:
+    """Mix x down by each Doppler bin: out[f, n] = x[n] * e^{-j 2 pi f n Ts}.
+
+    x: (..., n) -> (..., n_freq, n). The phasor table is built once per shape
+    under jit and fused into the FFT input.
+    """
+    n = x.shape[-1]
+    t = jnp.arange(n, dtype=jnp.float32) / sample_rate
+    phase = -2.0 * jnp.pi * freqs[:, None] * t[None, :]
+    osc = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    return x[..., None, :] * osc
+
+
+def caf_surface(x: jax.Array, replica_fft_conj: jax.Array, freqs: jax.Array,
+                sample_rate: float) -> jax.Array:
+    """CAF power surface of a signal block against code replicas.
+
+    Args:
+      x: (n,) or (batch, n) complex baseband block.
+      replica_fft_conj: (n_code, n) conj(FFT(replica)) per code (PRN).
+      freqs: (n_freq,) Doppler bins [Hz].
+      sample_rate: [Hz].
+
+    Returns float32 (..., n_code, n_freq, n) power: one circular-lag row per
+    (code, Doppler).
+    """
+    mixed = _doppler_mix(x, freqs, sample_rate)          # (..., n_freq, n)
+    mf = jnp.fft.fft(mixed, axis=-1)
+    prod = mf[..., None, :, :] * replica_fft_conj[:, None, :]
+    y = jnp.fft.ifft(prod, axis=-1)
+    return jnp.real(y) ** 2 + jnp.imag(y) ** 2
+
+
+def caf_accumulate(blocks: jax.Array, replica_fft_conj: jax.Array,
+                   freqs: jax.Array, sample_rate: float) -> jax.Array:
+    """Non-coherent accumulation of CAF power over integration blocks.
+
+    blocks: (n_blocks, n). Equivalent to the reference's `intg`-fold
+    accumulation loop in `sdraqcuisition` (sdracq.c:15-27) but evaluated as
+    one batched op and summed.
+    """
+    p = caf_surface(blocks, replica_fft_conj, freqs, sample_rate)
+    return jnp.sum(p, axis=0)
+
+
+def caf_pair(a: jax.Array, b: jax.Array, freqs: jax.Array,
+             sample_rate: float) -> jax.Array:
+    """Signal-vs-signal CAF (delay x Doppler) for one antenna pair.
+
+    out[f] = |IFFT(FFT(a * e^{-j2 pi f t}) * conj(FFT(b)))|^2 over circular
+    lags. Zero-padding to 2*n makes lags linear within +/- n.
+    Returns (n_freq, 2n) float32.
+    """
+    n = a.shape[-1]
+    nfft = 2 * n
+    mixed = _doppler_mix(a, freqs, sample_rate)
+    af = jnp.fft.fft(mixed, n=nfft, axis=-1)
+    bf = jnp.fft.fft(b, n=nfft, axis=-1)
+    y = jnp.fft.ifft(af * jnp.conj(bf)[..., None, :], axis=-1)
+    return jnp.real(y) ** 2 + jnp.imag(y) ** 2
+
+
+def caf_peak(power: jax.Array, n_code_axis: int = -1):
+    """Peak location over a (n_freq, n_lag) CAF surface.
+
+    Returns (freq_idx, lag_idx, peak_val) as traced scalars.
+    """
+    nf, nl = power.shape[-2], power.shape[-1]
+    flat = power.reshape(power.shape[:-2] + (nf * nl,))
+    idx = jnp.argmax(flat, axis=-1)
+    return idx // nl, idx % nl, jnp.take_along_axis(flat, idx[..., None], -1)[..., 0]

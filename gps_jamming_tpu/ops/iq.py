@@ -1,0 +1,136 @@
+"""I/Q container ops: uint8 ingest, normalization, framing.
+
+The reference uses three distinct normalization conventions for RTL-SDR uint8
+interleaved I/Q bytes; all three are provided here, with `uint8_to_complex`
+(centered, unscaled) as the canonical detector-path convention:
+
+- centered   : x - 127.5              (worker.py:222, triangulateTDOA.py:34)
+- normalized : (x - 127.5) / 127.5    (triangulateRSSI.py:30, widmo_plot.py:39)
+- int8       : (int8)(x - 128)        (sdrrcv.c:104-106, receiver path)
+
+All ops are jit-friendly (static shapes), operate on device arrays, and batch
+over leading dimensions.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bytes_to_iq_f32(raw: jax.Array, *, centered: bool = True,
+                    scale: float | None = None) -> jax.Array:
+    """uint8 interleaved I/Q -> complex64.
+
+    Args:
+      raw: uint8 array, last dim = 2*n_samples (interleaved I,Q).
+      centered: subtract 127.5 (RTL-SDR zero offset).
+      scale: optional divisor (127.5 for the [-1,1] convention).
+
+    Returns complex64 array with last dim n_samples.
+    """
+    x = raw.astype(jnp.float32)
+    if centered:
+        x = x - 127.5
+    if scale is not None:
+        x = x / scale
+    i = x[..., 0::2]
+    q = x[..., 1::2]
+    return jax.lax.complex(i, q)
+
+
+def uint8_to_complex(raw: jax.Array) -> jax.Array:
+    """Canonical ingest: x - 127.5, unscaled (detector/TDOA convention)."""
+    return bytes_to_iq_f32(raw, centered=True, scale=None)
+
+
+def uint8_to_complex_normalized(raw: jax.Array) -> jax.Array:
+    """(x - 127.5)/127.5 in [-1, 1] (RSSI/spectral convention)."""
+    return bytes_to_iq_f32(raw, centered=True, scale=127.5)
+
+
+def uint8_to_int8(raw: jax.Array) -> jax.Array:
+    """Receiver-path convention of `sdrrcv.c:104-106`: uint8 - 128 -> int8.
+
+    Kept in integer domain so the correlator can run int arithmetic.
+    """
+    return (raw.astype(jnp.int32) - 128).astype(jnp.int8)
+
+
+def int8_interleaved_to_complex(x8: jax.Array) -> jax.Array:
+    """Interleaved int8 I/Q -> complex64."""
+    x = x8.astype(jnp.float32)
+    return jax.lax.complex(x[..., 0::2], x[..., 1::2])
+
+
+def remove_dc(iq: jax.Array, axis: int = -1) -> jax.Array:
+    """Per-block DC removal (widmo_plot.py:44)."""
+    return iq - jnp.mean(iq, axis=axis, keepdims=True)
+
+
+def frame(x: jax.Array, frame_len: int, hop: int) -> jax.Array:
+    """Split the last axis into overlapping frames.
+
+    Output shape: (..., n_frames, frame_len) with
+    n_frames = 1 + (n - frame_len)//hop. Tail samples that do not fill a
+    frame are dropped (XLA needs static shapes; callers pad upstream).
+    """
+    n = x.shape[-1]
+    n_frames = 1 + (n - frame_len) // hop
+    idx = (jnp.arange(n_frames)[:, None] * hop) + jnp.arange(frame_len)[None, :]
+    return jnp.take(x, idx, axis=-1)
+
+
+def frame_nonoverlap(x: jax.Array, frame_len: int) -> jax.Array:
+    """Reshape the last axis into consecutive non-overlapping frames."""
+    n = x.shape[-1]
+    n_frames = n // frame_len
+    return x[..., : n_frames * frame_len].reshape(
+        x.shape[:-1] + (n_frames, frame_len))
+
+
+def pad_to_multiple(x: jax.Array, multiple: int, axis: int = -1,
+                    value: float = 0.0) -> jax.Array:
+    """Right-pad `axis` so its length is a multiple of `multiple`."""
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def read_iq_file(path: str, *, convention: str = "centered",
+                 count: int = -1, offset_bytes: int = 0) -> np.ndarray:
+    """Host-side ingest of a .bin capture -> numpy complex64.
+
+    convention: 'centered' (x-127.5), 'normalized' ((x-127.5)/127.5),
+    'int8' ((x-128) as float).
+    """
+    raw = np.fromfile(path, dtype=np.uint8, count=count, offset=offset_bytes)
+    if raw.size % 2:
+        raw = raw[:-1]
+    f = raw.astype(np.float32)
+    if convention == "centered":
+        f = f - 127.5
+    elif convention == "normalized":
+        f = (f - 127.5) / 127.5
+    elif convention == "int8":
+        f = (raw.astype(np.int16) - 128).astype(np.float32)
+    else:
+        raise ValueError(f"unknown convention {convention!r}")
+    return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+
+def write_iq_file(path: str, iq_float: np.ndarray) -> None:
+    """Write centered float I/Q back to RTL-SDR uint8 format.
+
+    Inverse of the 'centered' convention with the reference's clip-and-offset
+    contract (`add_jammer_and_mix.py:177-180`): clip to [-128, 127], +128.
+    """
+    inter = np.empty(iq_float.size * 2, dtype=np.float32)
+    inter[0::2] = np.real(iq_float)
+    inter[1::2] = np.imag(iq_float)
+    clipped = np.clip(inter, -128.0, 127.0)
+    (clipped.astype(np.int16) + 128).astype(np.uint8).tofile(path)

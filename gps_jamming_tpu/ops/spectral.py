@@ -1,0 +1,78 @@
+"""Welch PSD and spectrogram kernels.
+
+TPU-native replacement for the reference's `scipy.signal.welch` usage
+(`skrypty/widmo_plot.py:48-53`: nperseg=1024, two-sided, hann, 50% overlap,
+density scaling, then fftshift + 10*log10). Implemented as batched jnp.fft so
+XLA tiles the FFTs and fuses the windowing/scaling elementwise ops.
+
+Parity is validated against scipy in tests/test_spectral.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .iq import frame, remove_dc
+
+
+@functools.lru_cache(maxsize=16)
+def _hann(nperseg: int) -> np.ndarray:
+    # scipy.signal.get_window('hann', n) is the periodic=False symmetric hann
+    # used by welch with default args? scipy uses sym=False for spectral
+    # windows: get_window -> fftbins=True (periodic). Match that.
+    n = np.arange(nperseg)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / nperseg)).astype(np.float32)
+
+
+def welch_psd(iq: jax.Array, sample_rate: float, nperseg: int = 1024,
+              overlap_frac: float = 0.5, detrend: bool = True) -> jax.Array:
+    """Two-sided Welch PSD, density scaling, natural FFT order.
+
+    Matches scipy.signal.welch(x, fs, nperseg=nperseg, return_onesided=False)
+    with the default hann window and 50% overlap, including the per-segment
+    constant detrend. Batches over leading dims. Output (..., nperseg).
+    """
+    hop = int(nperseg * (1.0 - overlap_frac))
+    win = jnp.asarray(_hann(nperseg))
+    segs = frame(iq, nperseg, hop)                   # (..., n_seg, nperseg)
+    if detrend:
+        segs = remove_dc(segs, axis=-1)
+    segs = segs * win
+    spec = jnp.fft.fft(segs, axis=-1)
+    p = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)
+    scale = 1.0 / (sample_rate * jnp.sum(win * win))
+    return jnp.mean(p, axis=-2) * scale
+
+
+def psd_db_shifted(pxx: jax.Array) -> jax.Array:
+    """fftshift + 10*log10(P + 1e-15)  (widmo_plot.py:51-52)."""
+    return 10.0 * jnp.log10(jnp.fft.fftshift(pxx, axes=-1) + 1e-15)
+
+
+def spectrogram(iq: jax.Array, sample_rate: float, chunk_samples: int,
+                nperseg: int = 1024, overlap_frac: float = 0.5) -> jax.Array:
+    """Waterfall: Welch PSD per non-overlapping time chunk, in shifted dB.
+
+    Re-expresses the widmo_plot.py per-second loop as one batched call:
+    (n,) -> (n_chunks, nperseg) dB matrix.  The per-chunk DC removal of
+    widmo_plot.py:44 is applied before the per-segment detrend.
+    """
+    n_chunks = iq.shape[-1] // chunk_samples
+    x = iq[..., : n_chunks * chunk_samples]
+    x = x.reshape(x.shape[:-1] + (n_chunks, chunk_samples))
+    x = remove_dc(x, axis=-1)
+    pxx = welch_psd(x, sample_rate, nperseg, overlap_frac)
+    return psd_db_shifted(pxx)
+
+
+def freq_axis_mhz(sample_rate: float, nperseg: int) -> np.ndarray:
+    """Shifted frequency axis in MHz (widmo_plot.py:76)."""
+    return np.linspace(-sample_rate / 2 / 1e6, sample_rate / 2 / 1e6, nperseg)
+
+
+def mean_spectrum_db(spectrogram_db: jax.Array) -> jax.Array:
+    """Mean over time of the dB spectrogram (widmo_plot.py:75)."""
+    return jnp.mean(spectrogram_db, axis=-2)

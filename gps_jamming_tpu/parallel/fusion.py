@@ -1,0 +1,123 @@
+"""Sharded multi-antenna processing pipelines.
+
+The multi-chip formulation of the detection/localization chain (SURVEY.md
+§2.3, BASELINE.json configs 4-5): captures laid out as
+(n_antenna, n_blocks, block_len) over a ('antenna', 'time') mesh, with
+
+- per-shard Welch PSD with overlap-save halos across time shards
+  (halo.halo_from_next), averaged over time via psum -> identical to the
+  unsharded PSD of the whole stream;
+- per-shard chunk power maps, all-gathered along time to form the full-file
+  F1 power profile;
+- PSD fusion across antennas via psum (mean) — replacing the reference's
+  HTTP fan-in of per-receiver telemetry (sdrout.c:10-57) with an ICI
+  collective.
+
+All entry points are shard_map-under-jit over an explicit Mesh.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import DetectorConfig, SpectralConfig
+from ..ops import power as power_ops
+from ..ops import spectral
+from . import halo
+from .mesh import ANTENNA_AXIS, TIME_AXIS
+
+
+def _welch_partial(block, sample_rate, nperseg, overlap_frac):
+    """Per-shard Welch: segment sum + count (so shard means combine exactly).
+
+    Welch with hop h over a block of length L yields 1+(L-nperseg)//h
+    segments; the halo keeps boundary-straddling segments. We return the sum
+    of per-segment periodograms and the segment count for exact combination.
+    """
+    hop = int(nperseg * (1.0 - overlap_frac))
+    win = jnp.asarray(spectral._hann(nperseg))
+    from ..ops.iq import frame, remove_dc
+    segs = frame(block, nperseg, hop)
+    segs = remove_dc(segs, axis=-1)
+    segs = segs * win
+    sp = jnp.fft.fft(segs, axis=-1)
+    p = jnp.real(sp) ** 2 + jnp.imag(sp) ** 2
+    scale = 1.0 / (sample_rate * jnp.sum(win * win))
+    return jnp.sum(p, axis=-2) * scale, p.shape[-2]
+
+
+def sharded_psd_and_power(blocks: jax.Array, mesh, sample_rate: float,
+                          det_cfg: DetectorConfig,
+                          spec_cfg: SpectralConfig):
+    """Fused sharded pipeline over a (n_antenna, n_blocks, block_len) capture.
+
+    Returns:
+      psd_fused: (nperseg,) antenna-mean, time-mean Welch PSD (replicated);
+      psd_per_antenna: (n_antenna, nperseg);
+      power_map: (n_antenna, total_chunks) full F1 chunk power profile.
+    """
+    nperseg = spec_cfg.nperseg
+    hop = int(nperseg * (1.0 - spec_cfg.overlap_frac))
+    chunk = det_cfg.power_chunk_samples
+
+    def kernel(local):                       # local: (1, blocks/shard, L)
+        x = local.reshape(local.shape[0], -1)         # concat local blocks
+        # --- PSD with halo so segments straddling shard edges are kept ---
+        xh = halo.halo_from_next(x, nperseg - hop)
+        psum_seg, nseg = _welch_partial(xh, sample_rate, nperseg,
+                                        spec_cfg.overlap_frac)
+        # drop the zero-padded tail contribution on the LAST shard: its halo
+        # is zeros, matching the unsharded stream's end (no extra segments
+        # exist there). Number of valid segments on last shard:
+        t_idx = jax.lax.axis_index(TIME_AXIS)
+        n_time = jax.lax.axis_size(TIME_AXIS)
+        L = x.shape[-1]
+        nseg_last = 1 + (L - nperseg) // hop
+        # recompute PSD sum without halo for the last shard
+        psum_nohalo, _ = _welch_partial(x, sample_rate, nperseg,
+                                        spec_cfg.overlap_frac)
+        is_last = t_idx == n_time - 1
+        seg_sum = jnp.where(is_last, psum_nohalo, psum_seg)
+        seg_cnt = jnp.where(is_last, nseg_last, nseg).astype(jnp.float32)
+
+        tot_sum = jax.lax.psum(seg_sum, TIME_AXIS)
+        tot_cnt = jax.lax.psum(seg_cnt, TIME_AXIS)
+        psd_ant = tot_sum / tot_cnt                    # (1, nperseg)
+        # fuse across antennas (mean)
+        n_ant = jax.lax.axis_size(ANTENNA_AXIS)
+        psd_fused = (jax.lax.psum(psd_ant, ANTENNA_AXIS) / n_ant)[0]
+
+        # --- chunk power profile, gathered along time ---
+        pm_local = power_ops.chunk_power(x, chunk)     # (1, chunks/shard)
+        pm_full = jax.lax.all_gather(pm_local, TIME_AXIS, axis=-1, tiled=True)
+        return psd_fused, psd_ant, pm_full
+
+    f = jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=P(ANTENNA_AXIS, TIME_AXIS, None),
+        out_specs=(P(), P(ANTENNA_AXIS, None), P(ANTENNA_AXIS, None)),
+        check_vma=False,
+    )
+    psd_fused, psd_ant, pm = jax.jit(f)(blocks)
+    return psd_fused, psd_ant, pm
+
+
+def shard_blocks(iq: np.ndarray, n_antenna: int, n_time: int,
+                 block_len: int | None = None) -> np.ndarray:
+    """Host-side layout: (n_antenna, n_time_blocks, block_len) from per-
+    antenna streams; pads the tail with zeros."""
+    x = np.asarray(iq)
+    if x.ndim == 1:
+        x = x[None, :]
+    assert x.shape[0] == n_antenna
+    n = x.shape[-1]
+    if block_len is None:
+        block_len = -(-n // n_time)
+    total = n_time * block_len
+    if total > n:
+        x = np.pad(x, ((0, 0), (0, total - n)))
+    return x[:, :total].reshape(n_antenna, n_time, block_len)

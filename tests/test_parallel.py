@@ -1,0 +1,90 @@
+"""Sharding tests on the 8-device virtual CPU mesh.
+
+Property: sharded results must match the single-shard (unsharded) reference
+computation exactly (SURVEY.md §7 'property-test against single-shard').
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from gps_jamming_tpu.config import DetectorConfig, SpectralConfig
+from gps_jamming_tpu.ops import power as power_ops, spectral
+from gps_jamming_tpu.parallel import fusion, halo, mesh as mesh_lib
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_construction():
+    m = mesh_lib.make_mesh(2, 4)
+    assert m.shape == {"antenna": 2, "time": 4}
+    m1 = mesh_lib.make_mesh(2)
+    assert m1.shape == {"antenna": 2, "time": 4}
+
+
+def test_halo_from_next():
+    m = mesh_lib.make_mesh(1, 8)
+    x = jnp.arange(64, dtype=jnp.float32).reshape(1, 8, 8)
+
+    def k(local):
+        blk = local.reshape(local.shape[0], -1)
+        return halo.halo_from_next(blk, 3)
+
+    f = shard_map(k, mesh=m, in_specs=P("antenna", "time", None),
+                  out_specs=P("antenna", "time"))
+    out = np.asarray(jax.jit(f)(x))     # (1, 8*11)
+    rows = out.reshape(8, 11)
+    for i in range(7):
+        np.testing.assert_array_equal(rows[i, :8], np.arange(8 * i, 8 * i + 8))
+        np.testing.assert_array_equal(rows[i, 8:], np.arange(8 * (i + 1), 8 * (i + 1) + 3))
+    np.testing.assert_array_equal(rows[7, 8:], [0, 0, 0])
+
+
+def test_halo_from_prev():
+    m = mesh_lib.make_mesh(1, 8)
+    x = jnp.arange(64, dtype=jnp.float32).reshape(1, 8, 8)
+
+    def k(local):
+        blk = local.reshape(local.shape[0], -1)
+        return halo.halo_from_prev(blk, 2)
+
+    f = shard_map(k, mesh=m, in_specs=P("antenna", "time", None),
+                  out_specs=P("antenna", "time"))
+    rows = np.asarray(jax.jit(f)(x)).reshape(8, 10)
+    np.testing.assert_array_equal(rows[0, :2], [0, 0])
+    for i in range(1, 8):
+        np.testing.assert_array_equal(rows[i, :2], np.arange(8 * i - 2, 8 * i))
+
+
+def test_sharded_psd_matches_unsharded(rng):
+    """2 antennas x 4 time shards: PSD must equal the single-stream Welch."""
+    fs = 2.048e6
+    det = DetectorConfig(power_chunk_samples=2048)
+    spec = SpectralConfig(nperseg=1024)
+    n_ant, n_time = 2, 4
+    block = 1 << 14                       # multiple of hop=512 and chunk
+    n = n_time * block
+    streams = (rng.standard_normal((n_ant, n)) +
+               1j * rng.standard_normal((n_ant, n))).astype(np.complex64)
+    t = np.arange(n) / fs
+    streams[0] += np.exp(2j * np.pi * 200e3 * t)
+
+    m = mesh_lib.make_mesh(n_ant, n_time)
+    blocks = jnp.asarray(fusion.shard_blocks(streams, n_ant, n_time, block))
+    psd_fused, psd_ant, pm = fusion.sharded_psd_and_power(
+        blocks, m, fs, det, spec)
+
+    # unsharded oracles
+    want_ant = np.stack([
+        np.asarray(spectral.welch_psd(jnp.asarray(s), fs, 1024))
+        for s in streams])
+    np.testing.assert_allclose(np.asarray(psd_ant), want_ant, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(psd_fused), want_ant.mean(0), rtol=2e-4)
+
+    want_pm = np.stack([
+        np.asarray(power_ops.chunk_power(jnp.asarray(s), 2048))
+        for s in streams])
+    np.testing.assert_allclose(np.asarray(pm), want_pm, rtol=1e-5)
