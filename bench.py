@@ -1,0 +1,120 @@
+"""Benchmark: I/Q Msamples/s/chip on the fused detection + acquisition chain.
+
+Runs the flagship forward step (uint8 ingest -> Welch PSD -> chunk-power
+detection -> 32-PRN x 71-Doppler CAF acquisition) on the default JAX backend
+(the real TPU chip under the driver) and compares against the
+reference-equivalent NumPy/SciPy implementation of the same work on CPU
+(the baseline proxy: the reference publishes no benchmark numbers —
+BASELINE.md — so the natural baseline is its NumPy/FFTW-style host math).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def _build_tpu_chain():
+    import jax
+    import jax.numpy as jnp
+    from gps_jamming_tpu.config import DEFAULT_CONFIG as CFG
+    from gps_jamming_tpu.ops import caf, codes, iq, power, spectral
+
+    fs = CFG.frontend.sample_rate_hz
+    n_code = 2048
+    n_intg = 10                       # reference ACQINTG
+    n_block = 1 << 19                 # 512k samples (~256 ms) per step
+
+    replica = codes.sampled_code_fft_conj(codes.gps_ca_table(), 1.023e6, fs,
+                                          n_code)
+    freqs = jnp.asarray(caf.doppler_bins(7000.0, 200.0))
+
+    def forward(raw_u8):
+        x = iq.uint8_to_complex(raw_u8)
+        psd = spectral.welch_psd(x, fs, 1024)
+        pm = power.chunk_power(x, 32768)
+        base = power.power_baseline(pm, 5.0)
+        thr = power.power_threshold_linear(base, 6.0)
+        flags = pm > thr
+        blocks = x[: n_intg * n_code].reshape(n_intg, n_code)
+        surf = caf.caf_accumulate(blocks, replica, freqs, fs)
+        peak = jnp.max(surf, axis=(-2, -1))
+        return psd, pm, flags, peak
+
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.integers(0, 256, 2 * n_block, dtype=np.uint8))
+    return jax.jit(forward), raw, n_block
+
+
+def _time_tpu(jfn, raw, n_block, warmup=2, iters=8):
+    import jax
+    for _ in range(warmup):
+        out = jfn(raw)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(raw)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return n_block / dt / 1e6          # Msamples/s
+
+
+def _time_cpu_reference(n_block, iters=2):
+    """Reference-equivalent host math: scipy Welch + numpy chunk power +
+    np.fft acquisition over the same (PRN x Doppler) grid."""
+    from scipy import signal as ss
+    fs = 2.048e6
+    n_code = 2048
+    n_intg = 10
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, 2 * n_block, dtype=np.uint8)
+
+    # code replicas (32, 2048)
+    import sys
+    sys.path.insert(0, ".")
+    from gps_jamming_tpu.ops.codes import gps_ca_table
+    tbl = gps_ca_table()
+    idx = (np.floor(np.arange(n_code) * 1.023e6 / fs).astype(int)) % 1023
+    sampled = tbl[:, idx]
+    rep = np.conj(np.fft.fft(sampled, axis=-1))
+    freqs = np.arange(71) * 200.0 - 7000.0
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        f = raw.astype(np.float32) - 127.5
+        x = (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+        _, _ = ss.welch(x, fs, nperseg=1024, return_onesided=False)
+        pm = np.mean(
+            np.abs(x[: (x.size // 32768) * 32768].reshape(-1, 32768)) ** 2,
+            axis=-1)
+        base = np.percentile(pm, 5.0)
+        _ = pm > base * 10 ** 0.6
+        blocks = x[: n_intg * n_code].reshape(n_intg, n_code)
+        t = np.arange(n_code) / fs
+        osc = np.exp(-2j * np.pi * freqs[:, None] * t[None, :])
+        acc = np.zeros((32, 71, n_code), np.float32)
+        for b in blocks:
+            mixed = b[None, :] * osc                      # (71, n)
+            mf = np.fft.fft(mixed, axis=-1)
+            y = np.fft.ifft(mf[None, :, :] * rep[:, None, :], axis=-1)
+            acc += np.abs(y).astype(np.float32) ** 2
+        _ = acc.max(axis=(-2, -1))
+    dt = (time.perf_counter() - t0) / iters
+    return n_block / dt / 1e6
+
+
+def main():
+    jfn, raw, n_block = _build_tpu_chain()
+    tpu_msps = _time_tpu(jfn, raw, n_block)
+    cpu_msps = _time_cpu_reference(n_block)
+    print(json.dumps({
+        "metric": "iq_detect_acquire_throughput",
+        "value": round(tpu_msps, 2),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(tpu_msps / cpu_msps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import fftcore
+
 
 def doppler_bins(max_hz: float, step_hz: float) -> np.ndarray:
     """Symmetric Doppler grid, matching sdrinit.c:182-185 (71 bins default)."""
@@ -54,9 +56,9 @@ def caf_surface(x: jax.Array, replica_fft_conj: jax.Array, freqs: jax.Array,
     (code, Doppler).
     """
     mixed = _doppler_mix(x, freqs, sample_rate)          # (..., n_freq, n)
-    mf = jnp.fft.fft(mixed, axis=-1)
+    mf = fftcore.fft(mixed)
     prod = mf[..., None, :, :] * replica_fft_conj[:, None, :]
-    y = jnp.fft.ifft(prod, axis=-1)
+    y = fftcore.ifft(prod)
     return jnp.real(y) ** 2 + jnp.imag(y) ** 2
 
 
@@ -83,9 +85,9 @@ def caf_pair(a: jax.Array, b: jax.Array, freqs: jax.Array,
     n = a.shape[-1]
     nfft = 2 * n
     mixed = _doppler_mix(a, freqs, sample_rate)
-    af = jnp.fft.fft(mixed, n=nfft, axis=-1)
-    bf = jnp.fft.fft(b, n=nfft, axis=-1)
-    y = jnp.fft.ifft(af * jnp.conj(bf)[..., None, :], axis=-1)
+    af = fftcore.fft(mixed, n=nfft)
+    bf = fftcore.fft(b, n=nfft)
+    y = fftcore.ifft(af * jnp.conj(bf)[..., None, :])
     return jnp.real(y) ** 2 + jnp.imag(y) ** 2
 
 

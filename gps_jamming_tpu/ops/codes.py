@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import constants as C
+from . import fftcore
 
 # IS-GPS-200 G2 phase-selector tap pairs (1-indexed) for PRN 1..32.
 _GPS_G2_TAPS = [
@@ -110,7 +111,7 @@ def sampled_code_fft_conj(code_table: np.ndarray, code_freq_hz: float,
     """
     codes = jnp.asarray(code_table, dtype=jnp.float32)
     sampled = resample_code(codes, code_freq_hz, sample_rate_hz, n_samples)
-    return jnp.conj(jnp.fft.fft(sampled.astype(jnp.complex64), axis=-1))
+    return jnp.conj(fftcore.fft(sampled.astype(jnp.complex64)))
 
 
 def glonass_carrier_hz(freq_ch: int) -> float:

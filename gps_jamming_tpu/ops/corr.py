@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import fftcore
+
 
 def circular_correlation_power(x: jax.Array, replica_fft_conj: jax.Array) -> jax.Array:
     """|IFFT(FFT(x) * conj(FFT(replica)))|^2  (cpxconv, sdrcmn.c:124-147).
@@ -28,8 +30,8 @@ def circular_correlation_power(x: jax.Array, replica_fft_conj: jax.Array) -> jax
 
     Returns float32 (..., n) correlation power over all circular lags.
     """
-    xf = jnp.fft.fft(x, axis=-1)
-    y = jnp.fft.ifft(xf * replica_fft_conj, axis=-1)
+    xf = fftcore.fft(x)
+    y = fftcore.ifft(xf * replica_fft_conj)
     return jnp.real(y) ** 2 + jnp.imag(y) ** 2
 
 
@@ -43,9 +45,9 @@ def xcorr_full(a: jax.Array, b: jax.Array) -> jax.Array:
     na = a.shape[-1]
     nb = b.shape[-1]
     nfft = int(2 ** np.ceil(np.log2(na + nb - 1)))
-    af = jnp.fft.fft(a, n=nfft, axis=-1)
-    bf = jnp.fft.fft(b, n=nfft, axis=-1)
-    full = jnp.fft.ifft(af * jnp.conj(bf), axis=-1)
+    af = fftcore.fft(a, n=nfft)
+    bf = fftcore.fft(b, n=nfft)
+    full = fftcore.ifft(af * jnp.conj(bf))
     # circular result index (m - (nb-1)) mod nfft  ->  linear 'full' order
     idx = (jnp.arange(na + nb - 1) - (nb - 1)) % nfft
     return jnp.take(full, idx, axis=-1)

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import fftcore
 from .iq import frame, remove_dc
 
 
@@ -41,8 +42,7 @@ def welch_psd(iq: jax.Array, sample_rate: float, nperseg: int = 1024,
     if detrend:
         segs = remove_dc(segs, axis=-1)
     segs = segs * win
-    spec = jnp.fft.fft(segs, axis=-1)
-    p = (jnp.real(spec) ** 2 + jnp.imag(spec) ** 2)
+    p = fftcore.fft_power(segs)
     scale = 1.0 / (sample_rate * jnp.sum(win * win))
     return jnp.mean(p, axis=-2) * scale
 
