@@ -19,31 +19,33 @@ def _build_tpu_chain():
     import jax
     import jax.numpy as jnp
     from gps_jamming_tpu.config import DEFAULT_CONFIG as CFG
-    from gps_jamming_tpu.ops import caf, codes, iq, power, spectral
+    from gps_jamming_tpu.models.receiver import acquisition as acq
+    from gps_jamming_tpu.ops import caf, iq, power, spectral
 
     fs = CFG.frontend.sample_rate_hz
     n_code = 2048
     n_intg = 10                       # reference ACQINTG
     n_block = 1 << 19                 # 512k samples (~256 ms) per step
 
-    replica = codes.sampled_code_fft_conj(codes.gps_ca_table(), 1.023e6, fs,
-                                          n_code)
-    freqs = jnp.asarray(caf.doppler_bins(7000.0, 200.0))
+    # planar path: int8 ingest, host-precomputed replica planes, MXU DFTs
+    replica = acq.gps_replica_table_host(fs, n_code)
+    freqs = caf.doppler_bins(7000.0, 200.0)
 
-    def forward(raw_u8):
-        x = iq.uint8_to_complex(raw_u8)
-        psd = spectral.welch_psd(x, fs, 1024)
-        pm = power.chunk_power(x, 32768)
+    def forward(raw_i8):
+        x = iq.int8_to_planar(raw_i8)
+        psd = spectral.welch_psd_p(x, fs, 1024)
+        pm = power.chunk_power_p(x, 32768)
         base = power.power_baseline(pm, 5.0)
         thr = power.power_threshold_linear(base, 6.0)
         flags = pm > thr
         blocks = x[: n_intg * n_code].reshape(n_intg, n_code)
-        surf = caf.caf_accumulate(blocks, replica, freqs, fs)
+        surf = caf.caf_accumulate(blocks, replica, jnp.asarray(freqs), fs)
         peak = jnp.max(surf, axis=(-2, -1))
         return psd, pm, flags, peak
 
     rng = np.random.default_rng(0)
-    raw = jnp.asarray(rng.integers(0, 256, 2 * n_block, dtype=np.uint8))
+    raw_u8 = rng.integers(0, 256, 2 * n_block, dtype=np.uint8)
+    raw = jnp.asarray(iq.uint8_np_to_int8(raw_u8))
     return jax.jit(forward), raw, n_block
 
 

@@ -41,13 +41,23 @@ def gps_replica_table(sample_rate: float, n_samples: int) -> jax.Array:
         n_samples)
 
 
-def acquire_all(blocks: jax.Array, replica_fft_conj: jax.Array,
+def gps_replica_table_host(sample_rate: float, n_samples: int):
+    """Host-precomputed planar replica table (TPU path): CArray of numpy
+    (re, im) planes, safe to close over in jitted kernels."""
+    from ...ops import cplx
+    re, im = codes_ops.sampled_code_fft_conj_host(
+        codes_ops.gps_ca_table(), C.GPS_CA_CHIP_RATE_HZ, sample_rate,
+        n_samples)
+    return cplx.CArray(re, im)
+
+
+def acquire_all(blocks, replica_fft_conj,
                 sample_rate: float, cfg: AcquisitionConfig,
                 code_period_s: float = C.GPS_CA_PERIOD_S) -> AcquisitionResult:
     """Acquire every PRN from `n_integration` code-period blocks.
 
-    blocks: (n_intg, n_samples) complex baseband, one code period each.
-    replica_fft_conj: (n_prn, n_samples).
+    blocks: (n_intg, n_samples) complex or CArray baseband, one code period
+    each. replica_fft_conj: (n_prn, n_samples) complex or CArray.
     """
     freqs = jnp.asarray(caf_ops.doppler_bins(cfg.doppler_max_hz,
                                              cfg.doppler_step_hz))
@@ -66,12 +76,8 @@ def acquisition_test(surf: jax.Array, freqs: jax.Array, sample_rate: float,
     C/N0 = 10*log10(peak/mean/Tcode); acquired when peak/second > threshold.
     """
     n_prn, n_freq, n = surf.shape
-    samples_per_chip = sample_rate * code_period_s / (
-        n * code_period_s * sample_rate / n)  # == 1; compute from chip rate:
-    # chips per block = code length; exclusion half-width in samples:
-    n_chip = int(round(n / (sample_rate * code_period_s) * sample_rate
-                       * code_period_s))      # = n; use chip size directly
-    nsampchip = max(int(round(n / 1023.0)), 1) if code_period_s == C.GPS_CA_PERIOD_S else max(int(round(n / 511.0)), 1)
+    n_chips = 1023.0 if code_period_s == C.GPS_CA_PERIOD_S else 511.0
+    nsampchip = max(int(round(n / n_chips)), 1)
     excl = int(cfg.exclude_chips * nsampchip)
 
     flat = surf.reshape(n_prn, n_freq * n)

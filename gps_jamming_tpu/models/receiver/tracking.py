@@ -1,0 +1,278 @@
+"""Code/carrier tracking: scan-structured PLL/DLL/FLL channel loops.
+
+TPU-native re-design of `sdrtrk.c` (+ `correlator`, sdrcmn.c:707-740). The
+reference runs one pthread per channel, each epoch grabbing a variable-length
+window (`currnsamp`) so every correlation spans exactly one code period, then
+updating PLL/DLL NCOs (sdrtrk.c:66-109). That variable-length grab is hostile
+to XLA's static shapes, so this module uses the fixed-rate reformulation
+(SURVEY.md §7 hard parts): every epoch processes a FIXED window of
+`n_epoch = fs * 1 ms` samples, and the code phase lives entirely in the carry
+state as a fractional chip remainder (`code_rem`), advanced by the tracked
+code frequency each epoch. Observables read sub-chip code phase from the
+carry instead of from a sample counter.
+
+Structure: `lax.scan` over epochs; the carry is batched over channels so one
+scan tracks the whole constellation. Per epoch, per channel:
+  1. carrier wipe-off: planar NCO phasor (mixcarr, sdrcmn.c:581-705),
+  2. tap correlations: (2*n_taps+1) shifted code replicas x mixed signal as
+     one matmul on the MXU (dot_21/22/23, sdrcmn.c:251-358),
+  3. discriminators + 2nd-order loop filters (pll/dll, sdrtrk.c:66-109) with
+     the 0.53-rule coefficients of sdrinit.c:187-207,
+  4. FLL assist during pull-in, switch to locked bandwidths after
+     `pullin_ms` (sdrinit.c:27-32).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import TrackingConfig
+from ...ops import cplx
+from ...ops import codes as codes_ops
+from ...utils import constants as C
+
+
+class LoopCoeffs(NamedTuple):
+    """2nd-order loop filter coefficients (SoftGNSS/Kaplan form)."""
+    c1: jax.Array   # proportional: applied to (err - err_prev)
+    c2: jax.Array   # integral: applied to err * 1 (per-epoch)
+
+
+def loop_coeffs(bw_hz: float, damping: float, dt: float,
+                gain: float = 1.0) -> tuple[float, float]:
+    """Classic 0.53-rule coefficients: wn = bw/0.53 (sdrinit.c:187-207).
+
+    tau1 = gain / wn^2, tau2 = 2*damping/wn;
+    update: freq += c1*(e - e_prev) + c2*e  with c1 = tau2/tau1,
+    c2 = dt/tau1.
+    """
+    wn = bw_hz / 0.53
+    tau1 = gain / (wn * wn)
+    tau2 = 2.0 * damping / wn
+    return tau2 / tau1, dt / tau1
+
+
+class TrackState(NamedTuple):
+    """Per-channel tracking carry (all arrays shape (n_ch,))."""
+    carr_freq_hz: jax.Array      # carrier Doppler estimate
+    carr_phase_rad: jax.Array    # NCO phase at window start
+    code_freq_hz: jax.Array      # code NCO frequency
+    code_nco_hz: jax.Array       # accumulated DLL correction [Hz]
+    code_rem_chips: jax.Array    # code phase (chips) at window start
+    perr_prev: jax.Array         # previous PLL discriminator
+    derr_prev: jax.Array         # previous DLL discriminator
+    ip_prev: jax.Array           # previous prompt I (FLL)
+    qp_prev: jax.Array           # previous prompt Q (FLL)
+    noise_ema: jax.Array         # off-peak power EMA (C/N0 denominator)
+    sig_ema: jax.Array           # prompt power EMA (C/N0 numerator)
+
+
+class TrackOutputs(NamedTuple):
+    """Per-epoch outputs (stacked by scan: (n_epochs, n_ch))."""
+    i_prompt: jax.Array
+    q_prompt: jax.Array
+    carr_freq_hz: jax.Array
+    code_freq_hz: jax.Array
+    code_rem_chips: jax.Array
+    carr_phase_rad: jax.Array
+    cn0_dbhz: jax.Array
+    perr: jax.Array
+    derr: jax.Array
+
+
+def init_state(n_ch: int, doppler_hz, code_phase_samples, sample_rate: float,
+               code_len: int = C.GPS_CA_CODE_LEN,
+               chip_rate: float = C.GPS_CA_CHIP_RATE_HZ) -> TrackState:
+    """Seed tracking state from acquisition results.
+
+    `code_phase_samples` is the acquisition peak lag: the sample index within
+    the block where the code begins (sdracq.c -> sdrtrk handover). The code
+    phase at window start (sample 0) is therefore -lag in chips, i.e.
+    code_len - lag*chips_per_sample (mod code_len).
+    """
+    doppler = jnp.broadcast_to(jnp.asarray(doppler_hz, jnp.float32), (n_ch,))
+    lag = jnp.broadcast_to(jnp.asarray(code_phase_samples, jnp.float32),
+                           (n_ch,))
+    chips_per_sample = chip_rate / sample_rate
+    rem = (-lag * chips_per_sample) % code_len
+    # carrier-aided code frequency (sdrtrk.c:105-107)
+    fcode = chip_rate * (1.0 + doppler / C.GPS_L1_FREQ_HZ)
+    z = jnp.zeros((n_ch,), jnp.float32)
+    return TrackState(
+        carr_freq_hz=doppler, carr_phase_rad=z,
+        code_freq_hz=jnp.broadcast_to(fcode, (n_ch,)).astype(jnp.float32),
+        code_nco_hz=z, code_rem_chips=rem.astype(jnp.float32),
+        perr_prev=z, derr_prev=z, ip_prev=z, qp_prev=z,
+        noise_ema=jnp.ones((n_ch,), jnp.float32),
+        sig_ema=jnp.ones((n_ch,), jnp.float32))
+
+
+def _tap_correlate(x: cplx.CArray, code_table: jax.Array, state: TrackState,
+                   n_taps: int, tap_spacing: int, sample_rate: float,
+                   code_len: int) -> tuple[jax.Array, jax.Array]:
+    """All-tap correlation for every channel in one batched matmul.
+
+    x: (n,) planar window shared by all channels.
+    code_table: (n_ch, code_len) +/-1 chips.
+    Returns (I, Q) of shape (n_ch, 2*n_taps+1), taps ordered
+    [-n_taps..+n_taps] * tap_spacing samples (early -> late).
+    """
+    n = x.shape[-1]
+    n_ch = code_table.shape[0]
+    chips_per_sample = state.code_freq_hz / sample_rate      # (n_ch,)
+
+    # carrier wipe-off per channel: e^{-j(phi + 2 pi f t)}
+    t = jnp.arange(n, dtype=jnp.float32) / sample_rate
+    phase = (state.carr_phase_rad[:, None]
+             + 2.0 * jnp.pi * state.carr_freq_hz[:, None] * t[None, :])
+    nco = cplx.expi(-phase)                                  # (n_ch, n)
+    mixed = cplx.mul(cplx.apply(lambda a: a[None, :], x), nco)
+
+    # tap code replicas: chip phase per (channel, tap, sample)
+    tap_off = (jnp.arange(-n_taps, n_taps + 1, dtype=jnp.float32)
+               * tap_spacing)                                # samples
+    # phase[ch, tap, i] = rem + (i + tap_off) * cps
+    i_idx = jnp.arange(n, dtype=jnp.float32)
+    chip_phase = (state.code_rem_chips[:, None, None]
+                  + (i_idx[None, None, :] + tap_off[None, :, None])
+                  * chips_per_sample[:, None, None])
+    idx = jnp.floor(chip_phase).astype(jnp.int32) % code_len
+    taps = jnp.take_along_axis(
+        code_table[:, None, :], idx.reshape(n_ch, -1)[:, None, :], axis=-1
+    ).reshape(n_ch, 2 * n_taps + 1, n)
+
+    # correlate: (n_ch, n_tap, n) @ (n_ch, n) -> (n_ch, n_tap)
+    corr_i = jnp.einsum("ctn,cn->ct", taps, mixed.re,
+                        preferred_element_type=jnp.float32)
+    corr_q = jnp.einsum("ctn,cn->ct", taps, mixed.im,
+                        preferred_element_type=jnp.float32)
+    return corr_i, corr_q
+
+
+def _discriminators(corr_i: jax.Array, corr_q: jax.Array, state: TrackState,
+                    n_taps: int, dt: float):
+    """PLL (Costas atan), FLL (cross/dot), DLL (E-L envelope) errors.
+
+    Mirrors pll/dll of sdrtrk.c:66-109: atan discriminator for carrier
+    (data-bit insensitive), early-late envelope for code.
+    """
+    ip = corr_i[:, n_taps]
+    qp = corr_q[:, n_taps]
+    # PLL: Costas atan(Q/I) [rad]
+    perr = jnp.arctan2(qp * jnp.sign(ip), jnp.abs(ip))
+    # FLL: frequency error from successive prompts [Hz]
+    cross = state.ip_prev * qp - state.qp_prev * ip
+    dot = state.ip_prev * ip + state.qp_prev * qp
+    ferr = jnp.arctan2(cross, jnp.abs(dot) + 1e-12) / (2.0 * jnp.pi * dt)
+    # DLL: innermost early/late envelope pair
+    ie, qe = corr_i[:, n_taps - 1], corr_q[:, n_taps - 1]
+    il, ql = corr_i[:, n_taps + 1], corr_q[:, n_taps + 1]
+    e_env = jnp.sqrt(ie * ie + qe * qe)
+    l_env = jnp.sqrt(il * il + ql * ql)
+    derr = (e_env - l_env) / jnp.maximum(e_env + l_env, 1e-12) / 2.0
+    return perr, ferr, derr, ip, qp
+
+
+def make_tracker(code_table: np.ndarray, sample_rate: float,
+                 cfg: TrackingConfig,
+                 code_len: int = C.GPS_CA_CODE_LEN,
+                 chip_rate: float = C.GPS_CA_CHIP_RATE_HZ,
+                 carrier_hz: float = C.GPS_L1_FREQ_HZ,
+                 epoch_ms: float = 1.0):
+    """Build the jittable multi-channel tracking step + scan runner.
+
+    code_table: (n_ch, code_len) host numpy +/-1 chips for the tracked PRNs.
+    Returns (step, run) where
+      step(state, x_window: CArray (n,)) -> (state', TrackOutputs-per-epoch)
+      run(state, x: CArray (n_epochs*n,)) -> (state', TrackOutputs stacked)
+    """
+    dt = epoch_ms * 1e-3
+    n_epoch = int(round(sample_rate * dt))
+    table = jnp.asarray(code_table, jnp.float32)
+    n_taps = cfg.n_taps
+    # tap index used for the noise floor: the outermost early tap sits
+    # n_taps*spacing samples (~2 chips at 2 taps/chip) off prompt.
+    # loop gain 1.0: the atan discriminators have unit slope, and the
+    # discrete-time stability bound c1*2*pi*dt < 2 requires it at these
+    # bandwidths (gain k scales c1 = 2*damping*wn/k).
+    c1p_pull, c2p_pull = loop_coeffs(cfg.pll_bw_pullin_hz, cfg.damping, dt)
+    c1p_lock, c2p_lock = loop_coeffs(cfg.pll_bw_locked_hz, cfg.damping, dt)
+    c1d_pull, c2d_pull = loop_coeffs(cfg.dll_bw_pullin_hz, cfg.damping, dt)
+    c1d_lock, c2d_lock = loop_coeffs(cfg.dll_bw_locked_hz, cfg.damping, dt)
+    # staged pull-in: a 1st-order FLL alone closes the coarse (200 Hz
+    # acquisition bin) frequency error, then the PLL takes over — running
+    # both discriminators into one NCO simultaneously is the classic
+    # instability; the reference stages via its prm1/prm2 switch too.
+    kf = 4.0 * cfg.fll_bw_pullin_hz * dt * 0.25
+    fll_epochs = int(cfg.pullin_ms / epoch_ms) // 4
+    pullin_epochs = int(cfg.pullin_ms / epoch_ms)
+    ema = 1.0 / max(cfg.snr_smooth_ms / epoch_ms, 1.0)
+
+    def step(state: TrackState, inputs):
+        x, epoch_idx = inputs
+        fll_stage = epoch_idx < fll_epochs
+        locked = epoch_idx >= pullin_epochs
+        corr_i, corr_q = _tap_correlate(x, table, state, n_taps,
+                                        cfg.tap_spacing_samples, sample_rate,
+                                        code_len)
+        perr, ferr, derr, ip, qp = _discriminators(corr_i, corr_q, state,
+                                                   n_taps, dt)
+        c1p = jnp.where(locked, c1p_lock, c1p_pull)
+        c2p = jnp.where(locked, c2p_lock, c2p_pull)
+        c1d = jnp.where(locked, c1d_lock, c1d_pull)
+        c2d = jnp.where(locked, c2d_lock, c2d_pull)
+
+        carr_freq = jnp.where(
+            fll_stage,
+            state.carr_freq_hz + kf * ferr,
+            state.carr_freq_hz
+            + c1p * (perr - state.perr_prev) + c2p * perr)
+        # carrier-aided code NCO (sdrtrk.c:105-107) minus the accumulated
+        # DLL correction (SoftGNSS codeNco form)
+        code_nco = (state.code_nco_hz
+                    + c1d * (derr - state.derr_prev) + c2d * derr)
+        code_freq = chip_rate * (1.0 + carr_freq / carrier_hz) - code_nco
+
+        # advance NCO phases over the epoch
+        carr_phase = (state.carr_phase_rad
+                      + 2.0 * jnp.pi * state.carr_freq_hz * dt)
+        carr_phase = jnp.mod(carr_phase, 2.0 * jnp.pi)
+        code_rem = jnp.mod(state.code_rem_chips
+                           + state.code_freq_hz / sample_rate * n_epoch,
+                           float(code_len))
+
+        # C/N0: prompt power vs outermost-tap power, EMA-smoothed
+        p_sig = ip * ip + qp * qp
+        p_noise = corr_i[:, 0] ** 2 + corr_q[:, 0] ** 2
+        sig_ema = state.sig_ema + ema * (p_sig - state.sig_ema)
+        noise_ema = state.noise_ema + ema * (p_noise - state.noise_ema)
+        snr_lin = jnp.maximum(sig_ema - noise_ema, 1e-12) / \
+            jnp.maximum(noise_ema, 1e-12)
+        cn0 = 10.0 * jnp.log10(snr_lin / dt)
+
+        new = TrackState(
+            carr_freq_hz=carr_freq, carr_phase_rad=carr_phase,
+            code_freq_hz=code_freq, code_nco_hz=code_nco,
+            code_rem_chips=code_rem,
+            perr_prev=perr, derr_prev=derr, ip_prev=ip, qp_prev=qp,
+            noise_ema=noise_ema, sig_ema=sig_ema)
+        out = TrackOutputs(
+            i_prompt=ip, q_prompt=qp, carr_freq_hz=carr_freq,
+            code_freq_hz=code_freq, code_rem_chips=state.code_rem_chips,
+            carr_phase_rad=state.carr_phase_rad, cn0_dbhz=cn0,
+            perr=perr, derr=derr)
+        return new, out
+
+    def run(state: TrackState, x: cplx.CArray, start_epoch: int = 0):
+        n_epochs = x.shape[-1] // n_epoch
+        windows = cplx.apply(
+            lambda a: a[..., : n_epochs * n_epoch].reshape(n_epochs, n_epoch),
+            x)
+        idx = jnp.arange(n_epochs) + start_epoch
+        return jax.lax.scan(step, state, (windows, idx))
+
+    return step, run, n_epoch

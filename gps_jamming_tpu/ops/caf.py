@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import fftcore
+from . import cplx, fftcore
 
 
 def doppler_bins(max_hz: float, step_hz: float) -> np.ndarray:
@@ -29,7 +29,8 @@ def doppler_bins(max_hz: float, step_hz: float) -> np.ndarray:
     return (np.arange(n) * step_hz - max_hz).astype(np.float32)
 
 
-def _doppler_mix(x: jax.Array, freqs: jax.Array, sample_rate: float) -> jax.Array:
+def _doppler_mix_p(x: cplx.CArray, freqs: jax.Array,
+                   sample_rate: float) -> cplx.CArray:
     """Mix x down by each Doppler bin: out[f, n] = x[n] * e^{-j 2 pi f n Ts}.
 
     x: (..., n) -> (..., n_freq, n). The phasor table is built once per shape
@@ -38,32 +39,36 @@ def _doppler_mix(x: jax.Array, freqs: jax.Array, sample_rate: float) -> jax.Arra
     n = x.shape[-1]
     t = jnp.arange(n, dtype=jnp.float32) / sample_rate
     phase = -2.0 * jnp.pi * freqs[:, None] * t[None, :]
-    osc = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
-    return x[..., None, :] * osc
+    osc = cplx.expi(phase)
+    return cplx.mul(cplx.apply(lambda a: a[..., None, :], x), osc)
 
 
-def caf_surface(x: jax.Array, replica_fft_conj: jax.Array, freqs: jax.Array,
+def caf_surface(x, replica_fft_conj, freqs: jax.Array,
                 sample_rate: float) -> jax.Array:
     """CAF power surface of a signal block against code replicas.
 
     Args:
-      x: (n,) or (batch, n) complex baseband block.
-      replica_fft_conj: (n_code, n) conj(FFT(replica)) per code (PRN).
+      x: (n,) or (batch, n) complex (or CArray) baseband block.
+      replica_fft_conj: (n_code, n) conj(FFT(replica)) per code (PRN),
+        complex or CArray.
       freqs: (n_freq,) Doppler bins [Hz].
       sample_rate: [Hz].
 
     Returns float32 (..., n_code, n_freq, n) power: one circular-lag row per
     (code, Doppler).
     """
-    mixed = _doppler_mix(x, freqs, sample_rate)          # (..., n_freq, n)
-    mf = fftcore.fft(mixed)
-    prod = mf[..., None, :, :] * replica_fft_conj[:, None, :]
-    y = fftcore.ifft(prod)
-    return jnp.real(y) ** 2 + jnp.imag(y) ** 2
+    x = cplx.asarray(x)
+    rep = replica_fft_conj if isinstance(replica_fft_conj, cplx.CArray) \
+        else cplx.asarray(replica_fft_conj)
+    mixed = _doppler_mix_p(x, freqs, sample_rate)        # (..., n_freq, n)
+    mf = fftcore.fft_p(mixed)
+    prod = cplx.mul(cplx.apply(lambda a: a[..., None, :, :], mf),
+                    cplx.apply(lambda a: a[:, None, :], rep))
+    return fftcore.ifft_power_p(prod)
 
 
-def caf_accumulate(blocks: jax.Array, replica_fft_conj: jax.Array,
-                   freqs: jax.Array, sample_rate: float) -> jax.Array:
+def caf_accumulate(blocks, replica_fft_conj, freqs: jax.Array,
+                   sample_rate: float) -> jax.Array:
     """Non-coherent accumulation of CAF power over integration blocks.
 
     blocks: (n_blocks, n). Equivalent to the reference's `intg`-fold
@@ -74,21 +79,22 @@ def caf_accumulate(blocks: jax.Array, replica_fft_conj: jax.Array,
     return jnp.sum(p, axis=0)
 
 
-def caf_pair(a: jax.Array, b: jax.Array, freqs: jax.Array,
-             sample_rate: float) -> jax.Array:
+def caf_pair(a, b, freqs: jax.Array, sample_rate: float) -> jax.Array:
     """Signal-vs-signal CAF (delay x Doppler) for one antenna pair.
 
     out[f] = |IFFT(FFT(a * e^{-j2 pi f t}) * conj(FFT(b)))|^2 over circular
     lags. Zero-padding to 2*n makes lags linear within +/- n.
     Returns (n_freq, 2n) float32.
     """
+    a = cplx.asarray(a)
+    b = cplx.asarray(b)
     n = a.shape[-1]
     nfft = 2 * n
-    mixed = _doppler_mix(a, freqs, sample_rate)
-    af = fftcore.fft(mixed, n=nfft)
-    bf = fftcore.fft(b, n=nfft)
-    y = fftcore.ifft(af * jnp.conj(bf)[..., None, :])
-    return jnp.real(y) ** 2 + jnp.imag(y) ** 2
+    mixed = _doppler_mix_p(a, freqs, sample_rate)
+    af = fftcore.fft_p(mixed, n=nfft)
+    bf = fftcore.fft_p(b, n=nfft)
+    prod = cplx.mul_conj(af, cplx.apply(lambda v: v[..., None, :], bf))
+    return fftcore.ifft_power_p(prod)
 
 
 def caf_peak(power: jax.Array, n_code_axis: int = -1):

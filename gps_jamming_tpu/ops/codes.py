@@ -114,6 +114,33 @@ def sampled_code_fft_conj(code_table: np.ndarray, code_freq_hz: float,
     return jnp.conj(fftcore.fft(sampled.astype(jnp.complex64)))
 
 
+def resample_code_np(code_table: np.ndarray, code_freq_hz: float,
+                     sample_rate_hz: float, n_samples: int,
+                     rem_chips: float = 0.0) -> np.ndarray:
+    """Host (numpy) twin of `resample_code` for init-time precompute."""
+    clen = code_table.shape[-1]
+    phase = rem_chips + np.arange(n_samples) * (code_freq_hz / sample_rate_hz)
+    idx = np.floor(phase).astype(np.int64) % clen
+    return np.take(code_table, idx, axis=-1).astype(np.float32)
+
+
+def sampled_code_fft_conj_host(code_table: np.ndarray, code_freq_hz: float,
+                               sample_rate_hz: float,
+                               n_samples: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host-precomputed conj(FFT(sampled code)) as (re, im) float32 planes.
+
+    The TPU-native replica table: computed once at init on the host with
+    numpy (mirroring the one-shot precompute of sdrinit.c:431-442) and fed
+    to jitted planar kernels as embedded constants — device arrays never
+    cross back to host during lowering, and no complex dtype reaches TPU.
+    """
+    sampled = resample_code_np(np.asarray(code_table, np.float32),
+                               code_freq_hz, sample_rate_hz, n_samples)
+    rep = np.conj(np.fft.fft(sampled, axis=-1))
+    return (np.ascontiguousarray(rep.real, np.float32),
+            np.ascontiguousarray(rep.imag, np.float32))
+
+
 def glonass_carrier_hz(freq_ch: int) -> float:
     """GLONASS FDMA carrier for channel number k (sdrinit.c:391-399 maps
     prn -> k = prn - 8)."""

@@ -18,39 +18,45 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import fftcore
+from . import cplx, fftcore
 
 
-def circular_correlation_power(x: jax.Array, replica_fft_conj: jax.Array) -> jax.Array:
+def circular_correlation_power(x, replica_fft_conj) -> jax.Array:
     """|IFFT(FFT(x) * conj(FFT(replica)))|^2  (cpxconv, sdrcmn.c:124-147).
 
     Args:
-      x: (..., n) complex baseband block.
+      x: (..., n) complex or CArray baseband block.
       replica_fft_conj: (..., n) precomputed conj(FFT(code replica)).
 
     Returns float32 (..., n) correlation power over all circular lags.
     """
-    xf = fftcore.fft(x)
-    y = fftcore.ifft(xf * replica_fft_conj)
-    return jnp.real(y) ** 2 + jnp.imag(y) ** 2
+    xf = fftcore.fft_p(cplx.asarray(x))
+    prod = cplx.mul(xf, replica_fft_conj
+                    if isinstance(replica_fft_conj, cplx.CArray)
+                    else cplx.asarray(replica_fft_conj))
+    return fftcore.ifft_power_p(prod)
 
 
-def xcorr_full(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Full linear cross-correlation via zero-padded FFT.
+def xcorr_full_p(a: cplx.CArray, b: cplx.CArray) -> cplx.CArray:
+    """Planar full linear cross-correlation via zero-padded FFT.
 
-    Matches `scipy.signal.correlate(a, b, mode='full')` for complex inputs:
-    out[k] = sum_n a[n + k - (Nb-1)] * conj(b[n]), length Na+Nb-1. The lag of
-    out index m is m - (Nb - 1).
+    out[k] = sum_n a[n + k - (Nb-1)] * conj(b[n]), length Na+Nb-1; the lag of
+    out index m is m - (Nb - 1) (scipy.signal.correlate 'full' convention).
     """
     na = a.shape[-1]
     nb = b.shape[-1]
     nfft = int(2 ** np.ceil(np.log2(na + nb - 1)))
-    af = fftcore.fft(a, n=nfft)
-    bf = fftcore.fft(b, n=nfft)
-    full = fftcore.ifft(af * jnp.conj(bf))
+    af = fftcore.fft_p(a, n=nfft)
+    bf = fftcore.fft_p(b, n=nfft)
+    full = fftcore.ifft_p(cplx.mul_conj(af, bf))
     # circular result index (m - (nb-1)) mod nfft  ->  linear 'full' order
     idx = (jnp.arange(na + nb - 1) - (nb - 1)) % nfft
-    return jnp.take(full, idx, axis=-1)
+    return cplx.apply(lambda v: jnp.take(v, idx, axis=-1), full)
+
+
+def xcorr_full(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Complex-dtype wrapper of `xcorr_full_p` (CPU/API boundary)."""
+    return cplx.to_complex(xcorr_full_p(cplx.asarray(a), cplx.asarray(b)))
 
 
 def argmax_lag(corr_mag: jax.Array, nb: int) -> jax.Array:
@@ -78,16 +84,17 @@ def parabolic_peak_offset(y: jax.Array, peak_idx: jax.Array) -> jax.Array:
     return jnp.where(at_edge, 0.0, offset)
 
 
-def xcorr_peak_lag(a: jax.Array, b: jax.Array,
+def xcorr_peak_lag(a, b,
                    subsample: bool = True) -> tuple[jax.Array, jax.Array]:
     """Cross-correlation peak lag (float samples) and its magnitude.
 
     Integer part matches the reference TDOA (`triangulateTDOA.py:86-89`);
     the fractional part is the parabolic refinement required by BASELINE.md.
+    Accepts complex or CArray inputs (planar path is TPU-safe).
     """
     nb = b.shape[-1]
-    c = xcorr_full(a, b)
-    mag = jnp.abs(c)
+    c = xcorr_full_p(cplx.asarray(a), cplx.asarray(b))
+    mag = jnp.sqrt(cplx.abs2(c))
     peak = jnp.argmax(mag, axis=-1)
     lag = (peak - (nb - 1)).astype(jnp.float32)
     if subsample:

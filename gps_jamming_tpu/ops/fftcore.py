@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import cplx
+
 _BACKEND = "auto"
 _MAX_SINGLE = 2048           # largest single-stage DFT matrix (n x n f32)
 
@@ -133,6 +135,53 @@ def _fft_pair(xr, xi, inverse: bool):
         yr = yr / n
         yi = yi / n
     return yr, yi
+
+
+def _fit_last(x: jax.Array, n: int | None) -> jax.Array:
+    """Pad/truncate the last axis to length n (no-op when n is None)."""
+    if n is None or n == x.shape[-1]:
+        return x
+    if n > x.shape[-1]:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        return jnp.pad(x, pad)
+    return x[..., :n]
+
+
+# ---------------------------------------------------------------------------
+# Planar (CArray) API — the TPU-native entry points. No complex dtype is
+# ever materialized on the MXU path; the XLA path composes/decomposes
+# complex64 (CPU/GPU only).
+# ---------------------------------------------------------------------------
+
+def fft_p(x: cplx.CArray, n: int | None = None) -> cplx.CArray:
+    """DFT over the last axis of a planar complex array."""
+    if get_backend() == "xla":
+        y = jnp.fft.fft(cplx.to_complex(x), n=n, axis=-1)
+        return cplx.from_complex(y)
+    xr = _fit_last(x.re.astype(jnp.float32), n)
+    xi = _fit_last(x.im.astype(jnp.float32), n)
+    return cplx.CArray(*_fft_pair(xr, xi, inverse=False))
+
+
+def ifft_p(x: cplx.CArray, n: int | None = None) -> cplx.CArray:
+    if get_backend() == "xla":
+        y = jnp.fft.ifft(cplx.to_complex(x), n=n, axis=-1)
+        return cplx.from_complex(y)
+    xr = _fit_last(x.re.astype(jnp.float32), n)
+    xi = _fit_last(x.im.astype(jnp.float32), n)
+    return cplx.CArray(*_fft_pair(xr, xi, inverse=True))
+
+
+def fft_power_p(x: cplx.CArray, n: int | None = None) -> jax.Array:
+    """|FFT(x)|^2 from planes, squaring the (re, im) pair directly."""
+    y = fft_p(x, n=n)
+    return y.re * y.re + y.im * y.im
+
+
+def ifft_power_p(x: cplx.CArray) -> jax.Array:
+    """|IFFT(x)|^2 from planes."""
+    y = ifft_p(x)
+    return y.re * y.re + y.im * y.im
 
 
 def fft(x: jax.Array, n: int | None = None, axis: int = -1) -> jax.Array:

@@ -63,6 +63,33 @@ def int8_interleaved_to_complex(x8: jax.Array) -> jax.Array:
     return jax.lax.complex(x[..., 0::2], x[..., 1::2])
 
 
+def uint8_np_to_int8(raw: np.ndarray) -> np.ndarray:
+    """Host edge conversion: RTL-SDR uint8 bytes -> int8 (x - 128), zero-copy
+    via XOR of the sign bit. TPU runtimes that lack a uint8 path take int8
+    fine; this is the only byte-domain work left on the host.
+    """
+    return (raw ^ 0x80).view(np.int8)
+
+
+def int8_to_planar(x8: jax.Array, *, convention: str = "centered"):
+    """Device ingest: interleaved int8 I/Q -> planar CArray (re, im) f32.
+
+    convention:
+      'centered'   : value + 0.5  == uint8 - 127.5  (detector/TDOA path)
+      'normalized' : (value + 0.5)/127.5            (RSSI/spectral path)
+      'int8'       : value                          (receiver path, sdrrcv.c)
+    """
+    from . import cplx
+    f = x8.astype(jnp.float32)
+    if convention == "centered":
+        f = f + 0.5
+    elif convention == "normalized":
+        f = (f + 0.5) / 127.5
+    elif convention != "int8":
+        raise ValueError(f"unknown convention {convention!r}")
+    return cplx.CArray(f[..., 0::2], f[..., 1::2])
+
+
 def remove_dc(iq: jax.Array, axis: int = -1) -> jax.Array:
     """Per-block DC removal (widmo_plot.py:44)."""
     return iq - jnp.mean(iq, axis=axis, keepdims=True)

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import cplx
 from .iq import frame_nonoverlap
 
 
@@ -29,19 +30,22 @@ def chunk_power(iq: jax.Array, chunk_samples: int) -> jax.Array:
     mean of whatever the last read returned, worker.py:217-230).
     Input: complex64 (..., n); output: float32 (..., ceil(n/chunk_samples)).
     """
-    n = iq.shape[-1]
+    return chunk_power_p(cplx.asarray(iq), chunk_samples)
+
+
+def chunk_power_p(x: cplx.CArray, chunk_samples: int) -> jax.Array:
+    """Planar chunk-power core (TPU path)."""
+    power = cplx.abs2(x)
+    n = power.shape[-1]
     n_full = n // chunk_samples
     out = []
     if n_full:
-        frames = frame_nonoverlap(iq[..., : n_full * chunk_samples],
+        frames = frame_nonoverlap(power[..., : n_full * chunk_samples],
                                   chunk_samples)
-        out.append(jnp.mean(jnp.real(frames) ** 2 + jnp.imag(frames) ** 2,
-                            axis=-1))
+        out.append(jnp.mean(frames, axis=-1))
     if n % chunk_samples:
-        tail = iq[..., n_full * chunk_samples:]
-        p_tail = jnp.mean(jnp.real(tail) ** 2 + jnp.imag(tail) ** 2,
-                          axis=-1, keepdims=True)
-        out.append(p_tail)
+        tail = power[..., n_full * chunk_samples:]
+        out.append(jnp.mean(tail, axis=-1, keepdims=True))
     p = out[0] if len(out) == 1 else jnp.concatenate(out, axis=-1)
     return p + 1e-10
 
@@ -125,7 +129,7 @@ def find_onset(iq: jax.Array, noise_samples: int, window: int,
     where the `window`-sample moving average exceeds factor*floor, plus
     window//2 recentring. Returns -1 (int32) when not found.
     """
-    power = jnp.real(iq) ** 2 + jnp.imag(iq) ** 2
+    power = cplx.abs2(cplx.asarray(iq))
     noise = jnp.mean(power[..., :noise_samples], axis=-1, keepdims=True)
     noise = jnp.where(noise == 0, 1e-9, noise)
     avg = moving_average(power, window)

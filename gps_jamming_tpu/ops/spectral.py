@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import fftcore
+from . import cplx, fftcore
 from .iq import frame, remove_dc
 
 
@@ -36,13 +36,20 @@ def welch_psd(iq: jax.Array, sample_rate: float, nperseg: int = 1024,
     with the default hann window and 50% overlap, including the per-segment
     constant detrend. Batches over leading dims. Output (..., nperseg).
     """
+    return welch_psd_p(cplx.asarray(iq), sample_rate, nperseg,
+                       overlap_frac, detrend)
+
+
+def welch_psd_p(x: cplx.CArray, sample_rate: float, nperseg: int = 1024,
+                overlap_frac: float = 0.5, detrend: bool = True) -> jax.Array:
+    """Planar-complex Welch core (TPU path: no complex dtype on device)."""
     hop = int(nperseg * (1.0 - overlap_frac))
     win = jnp.asarray(_hann(nperseg))
-    segs = frame(iq, nperseg, hop)                   # (..., n_seg, nperseg)
+    segs = cplx.apply(lambda a: frame(a, nperseg, hop), x)
     if detrend:
-        segs = remove_dc(segs, axis=-1)
-    segs = segs * win
-    p = fftcore.fft_power(segs)
+        segs = cplx.apply(lambda a: remove_dc(a, axis=-1), segs)
+    segs = cplx.CArray(segs.re * win, segs.im * win)
+    p = fftcore.fft_power_p(segs)
     scale = 1.0 / (sample_rate * jnp.sum(win * win))
     return jnp.mean(p, axis=-2) * scale
 
@@ -60,11 +67,22 @@ def spectrogram(iq: jax.Array, sample_rate: float, chunk_samples: int,
     (n,) -> (n_chunks, nperseg) dB matrix.  The per-chunk DC removal of
     widmo_plot.py:44 is applied before the per-segment detrend.
     """
-    n_chunks = iq.shape[-1] // chunk_samples
-    x = iq[..., : n_chunks * chunk_samples]
-    x = x.reshape(x.shape[:-1] + (n_chunks, chunk_samples))
-    x = remove_dc(x, axis=-1)
-    pxx = welch_psd(x, sample_rate, nperseg, overlap_frac)
+    return spectrogram_p(cplx.asarray(iq), sample_rate, chunk_samples,
+                         nperseg, overlap_frac)
+
+
+def spectrogram_p(x: cplx.CArray, sample_rate: float, chunk_samples: int,
+                  nperseg: int = 1024, overlap_frac: float = 0.5) -> jax.Array:
+    """Planar-complex spectrogram core."""
+    n_chunks = x.shape[-1] // chunk_samples
+
+    def chunked(a):
+        a = a[..., : n_chunks * chunk_samples]
+        return a.reshape(a.shape[:-1] + (n_chunks, chunk_samples))
+
+    xc = cplx.apply(chunked, x)
+    xc = cplx.apply(lambda a: remove_dc(a, axis=-1), xc)
+    pxx = welch_psd_p(xc, sample_rate, nperseg, overlap_frac)
     return psd_db_shifted(pxx)
 
 
