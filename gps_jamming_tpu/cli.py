@@ -1,0 +1,249 @@
+"""Command-line interface: detect / localize / simulate / spectrum /
+calibrate / receiver verbs.
+
+The product edge (SURVEY.md §7 M5): replaces the reference's GUI-driven
+workflow (app.py + worker.py) and its CLI twins (`checkIfJamming.py`,
+`skrypty/*.py`, `gnssdec` flags, simulate/frontend) with one entry point:
+
+    python -m gps_jamming_tpu detect capture.bin [ant2.bin ant3.bin]
+    python -m gps_jamming_tpu localize a0.bin a1.bin a2.bin --positions ...
+    python -m gps_jamming_tpu simulate --kind chirp --out ant --seconds 1
+    python -m gps_jamming_tpu spectrum capture.bin --out psd.csv
+    python -m gps_jamming_tpu calibrate capture.bin
+    python -m gps_jamming_tpu receiver capture.bin
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _parse_positions(spec: str | None, n: int):
+    """--positions "x1,y1;x2,y2;..." -> [(x, y), ...]."""
+    if spec is None:
+        # default antenna square (settings_dialog.py defaults)
+        defaults = [(0.0, 0.0), (3.0, 0.0), (0.0, 3.0)]
+        return defaults[:n]
+    out = []
+    for part in spec.split(";"):
+        x, y = part.split(",")
+        out.append((float(x), float(y)))
+    return out
+
+
+def cmd_detect(args) -> int:
+    from .runtime import pipeline
+    positions = _parse_positions(args.positions, len(args.files))
+    res = pipeline.analyze_capture(
+        args.files, antenna_positions=positions,
+        run_receiver=not args.no_receiver, localize=not args.no_localize,
+        max_seconds=args.max_seconds)
+    out = {
+        "power_ranges_bytes": res.power_ranges,
+        "events": res.events,
+        "n_events": len(res.events),
+        "localization": res.localization,
+        "tdoa": {k: v for k, v in (res.tdoa_result or {}).items()
+                 if k != "onsets"} if res.tdoa_result else None,
+        "last_safe_fix": res.last_safe_fix,
+        "elapsed_s": round(res.elapsed_s, 2),
+    }
+    if res.receiver is not None:
+        fix = res.receiver.best_fix
+        out["fix"] = None if fix is None else {
+            "lat": fix.lat_deg, "lon": fix.lon_deg, "hgt": fix.height_m,
+            "gdop": fix.gdop, "nsat": fix.nsat}
+        out["acquired_prns"] = [c.prn for c in res.receiver.channels
+                                if c.acquired]
+    print(json.dumps(out, default=_np_default, indent=2))
+    if args.telemetry_out:
+        res.telemetry.save_jsonl(args.telemetry_out)
+    return 0
+
+
+def cmd_localize(args) -> int:
+    import jax.numpy as jnp
+
+    from .config import DEFAULT_CONFIG as CFG
+    from .models import rssi, tdoa
+    from .ops import iq
+    positions = _parse_positions(args.positions, len(args.files))
+    caps = [jnp.asarray(iq.read_iq_file(p, convention="normalized"))
+            for p in args.files]
+    res = rssi.triangulate(caps, positions, cfg=CFG.rssi)
+    out = {"rssi": res}
+    if not args.no_tdoa and len(args.files) >= 2:
+        caps_c = [jnp.asarray(iq.read_iq_file(p, convention="centered"))
+                  for p in args.files]
+        td = tdoa.localize(caps_c, positions, CFG.frontend.sample_rate_hz,
+                           cfg=CFG.tdoa)
+        td.pop("onsets", None)
+        out["tdoa"] = td
+    print(json.dumps(out, default=_np_default, indent=2))
+    return 0
+
+
+def cmd_simulate(args) -> int:
+    from .sim import scenario
+    fs = args.sample_rate
+    scn = scenario.JammerScenario(
+        kind=args.kind, position_m=(args.jammer_x, args.jammer_y),
+        start_s=args.start, duration_s=args.duration, seed=args.seed)
+    positions = _parse_positions(args.positions, args.antennas)
+    paths = [f"{args.out}{i}.bin" for i in range(args.antennas)]
+    scenario.write_capture_set(scn, positions, paths,
+                               int(args.seconds * fs), fs,
+                               noise_std=args.noise)
+    print(json.dumps({"written": paths, "scenario": {
+        "kind": args.kind, "jammer_m": [args.jammer_x, args.jammer_y],
+        "start_s": args.start, "duration_s": args.duration}}))
+    return 0
+
+
+def cmd_spectrum(args) -> int:
+    import jax.numpy as jnp
+
+    from .config import DEFAULT_CONFIG as CFG
+    from .ops import iq, spectral
+    x = iq.read_iq_file(args.file, convention="normalized",
+                        count=(int(args.max_seconds
+                                   * CFG.frontend.sample_rate_hz) * 2
+                               if args.max_seconds else -1))
+    fs = CFG.frontend.sample_rate_hz
+    # 1 s chunks (widmo_plot.py:9-10), clamped for short captures
+    chunk = min(int(fs), x.size)
+    sg = np.asarray(spectral.spectrogram(jnp.asarray(x), fs, chunk,
+                                         CFG.spectral.nperseg))
+    freqs = spectral.freq_axis_mhz(fs, CFG.spectral.nperseg)
+    mean_db = np.asarray(spectral.mean_spectrum_db(sg))
+    if args.out:
+        np.savez(args.out, spectrogram_db=sg, freq_mhz=freqs,
+                 mean_db=mean_db)
+    print(json.dumps({
+        "chunks": int(sg.shape[0]), "nperseg": int(sg.shape[1]),
+        "peak_db": float(mean_db.max()),
+        "peak_freq_mhz": float(freqs[int(mean_db.argmax())]),
+        "mean_noise_db": float(np.median(mean_db)),
+        "out": args.out}))
+    return 0
+
+
+def cmd_calibrate(args) -> int:
+    import jax.numpy as jnp
+
+    from .config import DEFAULT_CONFIG as CFG
+    from .models import detector
+    from .ops import iq
+    x = jnp.asarray(iq.read_iq_file(args.file, convention="centered"))
+    pm = detector.standalone_chunk_powers(x, CFG.detector)
+    thr = float(np.asarray(detector.calibrate_threshold(pm)))
+    ev = detector.standalone_events(np.asarray(pm), thr,
+                                    CFG.detector.standalone_chunk_bytes // 2)
+    print(json.dumps({"suggested_threshold": thr,
+                      "median_power": thr / CFG.detector.calibration_factor,
+                      "events_at_threshold": ev}, default=_np_default))
+    return 0
+
+
+def cmd_receiver(args) -> int:
+    from .models.receiver import receiver as rx_mod
+    from .ops import iq
+    from .runtime import telemetry
+    x = iq.read_iq_file(args.file, convention="centered",
+                        count=(int(args.max_seconds * args.sample_rate) * 2
+                               if args.max_seconds else -1))
+    res = rx_mod.run_receiver(x.astype(np.complex64), args.sample_rate)
+    fix = res.best_fix
+    out = {
+        "acquired": [
+            {"prn": c.prn, "doppler_hz": round(c.doppler_hz, 1),
+             "peak_ratio": round(c.peak_ratio, 2),
+             "cn0_dbhz": round(c.cn0_dbhz, 1)}
+            for c in res.channels if c.acquired],
+        "decoded_prns": [c.prn for c in res.channels
+                         if c.obs is not None and c.obs.eph.complete],
+        "n_fixes": len([f for f in res.fixes if f.valid]),
+        "fix": None if fix is None else {
+            "lat": fix.lat_deg, "lon": fix.lon_deg, "hgt": fix.height_m,
+            "gdop": fix.gdop, "clk_bias_m": fix.clock_bias_m,
+            "nsat": fix.nsat},
+    }
+    print(json.dumps(out, default=_np_default, indent=2))
+    return 0
+
+
+def _np_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if isinstance(o, (np.bool_,)):
+        return bool(o)
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gps_jamming_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("detect", help="full detection pipeline on captures")
+    d.add_argument("files", nargs="+")
+    d.add_argument("--positions", help='"x1,y1;x2,y2;..." antenna XY [m]')
+    d.add_argument("--no-receiver", action="store_true")
+    d.add_argument("--no-localize", action="store_true")
+    d.add_argument("--max-seconds", type=float)
+    d.add_argument("--telemetry-out", help="write JSONL telemetry here")
+    d.set_defaults(fn=cmd_detect)
+
+    loc = sub.add_parser("localize", help="RSSI + TDOA localization")
+    loc.add_argument("files", nargs="+")
+    loc.add_argument("--positions")
+    loc.add_argument("--no-tdoa", action="store_true")
+    loc.set_defaults(fn=cmd_localize)
+
+    s = sub.add_parser("simulate", help="generate jammed captures")
+    s.add_argument("--kind", default="chirp",
+                   choices=["cw", "chirp", "broadband", "pulsed"])
+    s.add_argument("--out", default="ant")
+    s.add_argument("--seconds", type=float, default=1.0)
+    s.add_argument("--antennas", type=int, default=3)
+    s.add_argument("--positions")
+    s.add_argument("--jammer-x", type=float, default=4.0)
+    s.add_argument("--jammer-y", type=float, default=3.0)
+    s.add_argument("--start", type=float, default=0.3)
+    s.add_argument("--duration", type=float, default=0.4)
+    s.add_argument("--noise", type=float, default=1.0)
+    s.add_argument("--seed", type=int, default=7)
+    s.add_argument("--sample-rate", type=float, default=2.048e6)
+    s.set_defaults(fn=cmd_simulate)
+
+    sp = sub.add_parser("spectrum", help="Welch PSD waterfall stats")
+    sp.add_argument("file")
+    sp.add_argument("--out", help="write .npz here")
+    sp.add_argument("--max-seconds", type=float)
+    sp.set_defaults(fn=cmd_spectrum)
+
+    c = sub.add_parser("calibrate", help="standalone threshold calibration")
+    c.add_argument("file")
+    c.set_defaults(fn=cmd_calibrate)
+
+    r = sub.add_parser("receiver", help="GNSS receiver chain -> PVT fix")
+    r.add_argument("file")
+    r.add_argument("--sample-rate", type=float, default=2.048e6)
+    r.add_argument("--max-seconds", type=float)
+    r.set_defaults(fn=cmd_receiver)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

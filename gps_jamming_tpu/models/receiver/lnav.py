@@ -359,15 +359,21 @@ def decode_subframe(bits300: np.ndarray, d29: int = 0, d30: int = 0):
     return sf_id, {}, tow_s
 
 
-def decode_bits(bits: np.ndarray, prn: int = 0) -> "Ephemeris":
+def decode_stream(bits: np.ndarray, prn: int = 0):
     """Full decode of a nav bit stream: preamble sync -> subframes -> eph.
 
     `bits` are hard decisions (0/1) at 50 bps, any polarity/alignment. The
     first word's incoming (D29*, D30*) are unknown, so all four seeds are
     tried and parity + preamble arbitrate (sdrnav.c:284-328 equivalent).
+
+    Returns (Ephemeris, anchors) where anchors is a list of
+    (bit_index, sf_id, tow_s): the stream bit index of each decoded
+    subframe's first bit and the GPS ToW of that bit's leading edge — the
+    timing anchors pseudorange formation needs (sdrsync.c:81-93 role).
     """
     eph = Ephemeris(prn=prn)
     have = []
+    anchors = []
     bits = np.asarray(bits, dtype=np.int64) & 1
     for start in find_preamble(bits):
         stream = bits[start:]
@@ -393,7 +399,10 @@ def decode_bits(bits: np.ndarray, prn: int = 0) -> "Ephemeris":
             sf = stream[k * SUBFRAME_BITS:(k + 1) * SUBFRAME_BITS]
             sf_id, fields, tow_s = decode_subframe(sf, d29, d30)
             d29, d30 = int(sf[-2]), int(sf[-1])
-            if sf_id is None or not fields:
+            if sf_id is None:
+                continue
+            anchors.append((start + k * SUBFRAME_BITS, sf_id, tow_s))
+            if not fields:
                 continue
             for name, val in fields.items():
                 setattr(eph, name, val)
@@ -402,4 +411,9 @@ def decode_bits(bits: np.ndarray, prn: int = 0) -> "Ephemeris":
                 have.append(sf_id)
         break
     eph.have_subframes = tuple(have)
-    return eph
+    return eph, anchors
+
+
+def decode_bits(bits: np.ndarray, prn: int = 0) -> "Ephemeris":
+    """Ephemeris-only wrapper of `decode_stream`."""
+    return decode_stream(bits, prn)[0]

@@ -1,0 +1,188 @@
+"""End-to-end analysis pipeline: the GPSAnalysisThread equivalent.
+
+Re-design of `app/worker.py` (P3): the reference splits the job across a
+C subprocess + HTTP loopback + Qt thread; here it is one in-process
+pipeline over device kernels and host decode:
+
+  1. full-capture power pre-scan -> F1 ranges     (worker.py:198-275)
+  2. GNSS receiver chain -> per-100 ms telemetry  (gnssdec's role)
+  3. 4-flag detector scan -> confirmed events     (worker.py:363-458)
+  4. on events: RSSI triangulation + TDOA         (worker.py:567-611)
+  5. telemetry records, sdrout.c JSON schema      (worker.py:277-361)
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, FrameworkConfig
+from ..models import detector, rssi, tdoa
+from ..models.receiver import receiver as rx_mod
+from ..ops import iq as iq_ops
+from ..utils import constants as C
+from . import telemetry
+
+TELEMETRY_MS = 100             # status cadence (sdrmain.c:210)
+
+
+@dataclasses.dataclass
+class AnalysisResult:
+    power_ranges: list[tuple[int, int]]
+    events: list[dict]
+    flags_trace: dict
+    receiver: "rx_mod.ReceiverResult | None"
+    telemetry: telemetry.TelemetryLog
+    localization: dict | None
+    tdoa_result: dict | None
+    last_safe_fix: dict | None
+    elapsed_s: float
+
+
+def build_telemetry_frames(res: rx_mod.ReceiverResult, n_epochs: int,
+                           n_epoch_samples: int,
+                           cfg: FrameworkConfig) -> detector.TelemetryFrames:
+    """Receiver outputs -> per-100 ms TelemetryFrames for the detector.
+
+    Mirrors process_incoming_data (worker.py:277-361): C/N0 averaged over
+    tracked sats, residual median/bad-count and height from the most
+    recent fix, buffcnt = byte offset of the frame in the capture.
+    """
+    n_frames = n_epochs // TELEMETRY_MS
+    t = (np.arange(n_frames, dtype=np.float64) + 1) * TELEMETRY_MS * 1e-3
+    buffcnt = ((np.arange(n_frames, dtype=np.int64) + 1)
+               * TELEMETRY_MS * n_epoch_samples * 2)
+    cn0 = np.zeros(n_frames)
+    res_med = np.zeros(n_frames)
+    bad = np.zeros(n_frames)
+    hgt = np.zeros(n_frames)
+    nsat = np.zeros(n_frames)
+
+    live = [c.obs for c in res.channels if c.obs is not None] if res else []
+    for f in range(n_frames):
+        m = min((f + 1) * TELEMETRY_MS, n_epochs - 1)
+        if live:
+            vals = [ch.cn0_dbhz[m] for ch in live]
+            cn0[f] = float(np.mean(vals))
+    if res is not None and res.fixes:
+        fix_ep = np.asarray(res.fix_epochs)
+        for f in range(n_frames):
+            m = (f + 1) * TELEMETRY_MS
+            k = int(np.searchsorted(fix_ep, m, side="right")) - 1
+            if k < 0:
+                continue
+            sol = res.fixes[k]
+            r = np.abs(sol.residuals_m[np.asarray(sol.residuals_m) != 0.0])
+            res_med[f] = float(np.median(r)) if r.size else 0.0
+            bad[f] = int(np.sum(r > cfg.detector.residual_single_sat_m))
+            hgt[f] = sol.height_m if sol.valid else 0.0
+            nsat[f] = sol.nsat if sol.valid else 0
+    return detector.TelemetryFrames(
+        time_s=jnp.asarray(t, jnp.float32),
+        buffcnt=jnp.asarray(buffcnt, jnp.int32),
+        cn0_avg=jnp.asarray(cn0, jnp.float32),
+        residual_median=jnp.asarray(res_med, jnp.float32),
+        residual_bad_count=jnp.asarray(bad, jnp.float32),
+        hgt=jnp.asarray(hgt, jnp.float32),
+        nsat=jnp.asarray(nsat, jnp.float32))
+
+
+def analyze_capture(paths: Sequence[str],
+                    antenna_positions: Sequence[tuple[float, float]]
+                    | None = None,
+                    cfg: FrameworkConfig = DEFAULT_CONFIG,
+                    run_receiver: bool = True,
+                    localize: bool = True,
+                    max_seconds: float | None = None) -> AnalysisResult:
+    """Analyze 1-3 antenna captures end to end (start_analysis flow,
+    ui_mainwindow.py:653 -> worker.py:477-547)."""
+    t_start = time.time()
+    fs = cfg.frontend.sample_rate_hz
+    n_epoch = int(round(fs * 1e-3))
+
+    raw = np.fromfile(paths[0], dtype=np.uint8)
+    if max_seconds is not None:
+        raw = raw[: int(max_seconds * fs) * 2]
+    x = iq_ops.int8_to_planar(jnp.asarray(iq_ops.uint8_np_to_int8(raw)))
+
+    # 1. power pre-scan (F1 map)
+    prof = detector.power_profile(x, cfg.detector)
+    ranges = detector.power_profile_ranges(prof, cfg.detector)
+    ranges_pad, n_ranges = detector.ranges_to_padded(ranges)
+
+    # 2. receiver chain
+    res = None
+    if run_receiver:
+        res = rx_mod.run_receiver(x, fs)
+    n_epochs = x.shape[-1] // n_epoch
+
+    # 3. telemetry + detector
+    frames = build_telemetry_frames(res, n_epochs, n_epoch, cfg)
+    final, trace = detector.run_detector(frames, ranges_pad, n_ranges,
+                                         cfg.detector)
+    events = detector.events_to_list(final)
+
+    # telemetry records + last safe fix (worker.py:339-346)
+    log = telemetry.TelemetryLog()
+    hold = telemetry.HoldPositionFilter()
+    last_safe = None
+    jam_trace = np.asarray(trace.is_jamming)
+    if res is not None:
+        fix_ep = np.asarray(res.fix_epochs) if res.fix_epochs else None
+        acq_prns = [c.prn for c in res.channels if c.acquired]
+        trk = [c.prn for c in res.channels if c.obs is not None]
+        dec = [c.prn for c in res.channels
+               if c.obs is not None and c.obs.eph.complete]
+        for f in range(len(np.asarray(frames.time_s))):
+            m = (f + 1) * TELEMETRY_MS
+            fix = None
+            if fix_ep is not None:
+                k = int(np.searchsorted(fix_ep, m, side="right")) - 1
+                if k >= 0 and res.fixes[k].valid:
+                    fix = res.fixes[k]
+            is_hold = False
+            if fix is not None:
+                _, _, _, is_hold = hold.apply(fix.lat_deg, fix.lon_deg,
+                                              fix.height_m)
+            rec = telemetry.make_record(
+                elapsed_s=float(frames.time_s[f]),
+                time_s=float(frames.time_s[f]),
+                buffcnt=int(frames.buffcnt[f]),
+                acq_prns=acq_prns, tracked_prns=trk, decoded_prns=dec,
+                fix=fix, hold=is_hold)
+            log.append(rec)
+            if fix is not None and f < jam_trace.size and not jam_trace[f]:
+                last_safe = {"lat": fix.lat_deg, "lon": fix.lon_deg,
+                             "hgt": fix.height_m,
+                             "time": float(frames.time_s[f])}
+
+    # 4. localization on detected jamming
+    loc = None
+    td = None
+    if localize and events and antenna_positions is not None \
+            and len(paths) >= 2:
+        caps = [jnp.asarray(iq_ops.read_iq_file(p, convention="normalized"))
+                for p in paths]
+        loc = rssi.triangulate(caps, antenna_positions, cfg=cfg.rssi)
+        if len(paths) >= 2:
+            caps_c = [jnp.asarray(iq_ops.read_iq_file(p,
+                                                      convention="centered"))
+                      for p in paths]
+            try:
+                td = tdoa.localize(caps_c, antenna_positions, fs,
+                                   cfg=cfg.tdoa)
+            except Exception:
+                td = None
+
+    return AnalysisResult(
+        power_ranges=ranges, events=events,
+        flags_trace={
+            "f1": np.asarray(trace.f1), "f2": np.asarray(trace.f2),
+            "f3": np.asarray(trace.f3), "f4": np.asarray(trace.f4),
+            "jamming": jam_trace,
+        },
+        receiver=res, telemetry=log, localization=loc, tdoa_result=td,
+        last_safe_fix=last_safe, elapsed_s=time.time() - t_start)

@@ -1,0 +1,133 @@
+"""End-to-end pipeline + CLI tests on simulated jammer captures."""
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from gps_jamming_tpu.runtime import pipeline, telemetry
+from gps_jamming_tpu.sim import scenario
+
+FS = 2.048e6
+
+
+@pytest.fixture(scope="module")
+def capture_set(tmp_path_factory):
+    d = tmp_path_factory.mktemp("caps")
+    scn = scenario.JammerScenario(kind="chirp", position_m=(4.0, 3.0),
+                                  start_s=0.3, duration_s=0.4, seed=7)
+    ants = [(0.0, 0.0), (3.0, 0.0), (0.0, 3.0)]
+    paths = [str(d / f"ant{i}.bin") for i in range(3)]
+    scenario.write_capture_set(scn, ants, paths, int(FS), FS, noise_std=1.0)
+    return paths, ants
+
+
+def test_analyze_capture_detects_and_localizes(capture_set):
+    paths, ants = capture_set
+    res = pipeline.analyze_capture(paths, antenna_positions=ants,
+                                   run_receiver=False)
+    # F1 event starts within two chunks of the 0.3 s truth; with only a
+    # 1 s capture the 2.0 s clear hysteresis cannot elapse, so the event
+    # closes at EOF (the worker's finally-block behavior).
+    assert len(res.events) == 1
+    ev = res.events[0]
+    chunk_b = 32768 * 2
+    assert abs(ev["start_sample"] - 0.3 * FS * 2) <= 2 * chunk_b
+    assert ev["end_sample"] == pytest.approx(FS * 2, rel=0.02)
+    # the byte-accurate bounds come from the power pre-scan ranges
+    (s_b, e_b), = res.power_ranges
+    assert abs(s_b - 0.3 * FS * 2) <= chunk_b
+    assert abs(e_b - 0.7 * FS * 2) <= chunk_b
+    # RSSI localization near the (4, 3) truth
+    assert res.localization is not None and res.localization["success"]
+    x, y = res.localization["location_meters"]
+    assert np.hypot(x - 4.0, y - 3.0) < 3.0
+    assert res.elapsed_s > 0
+
+
+def test_telemetry_schema_and_status_format():
+    rec = telemetry.make_record(
+        1.5, 345600.0, 12345, acq_prns=[5, 17], tracked_prns=[5],
+        decoded_prns=[5], fix=None,
+        observations=[telemetry.make_observation(
+            5, 345600.0, 2400, 45.0, 1200.0, 180.0, 45.0, 2.5)])
+    # schema keys of sdrout.c:213-325
+    assert set(rec) == {"elapsed_time", "time", "filter", "acq_sv",
+                        "tracked", "decoded", "position", "observations"}
+    assert set(rec["position"]) == {"nsat", "lat", "lon", "hgt", "gdop",
+                                    "clk_bias", "buffcnt", "hold"}
+    line = telemetry.format_status_line(rec)
+    assert "ETIME|1.5" in line and "LLA|" in line and "OBS|5|" in line
+    js = json.dumps(rec)
+    assert json.loads(js) == rec
+
+
+def test_hold_position_filter():
+    h = telemetry.HoldPositionFilter()
+    out = h.apply(50.0, 19.9, 200.0)
+    assert out[3] is False
+    out = h.apply(50.001, 19.901, 201.0)       # small move: pass through
+    assert out[:2] == (50.001, 19.901)
+    out = h.apply(53.5, 19.9, 200.0)           # > 1 deg jump: hold
+    assert out[3] is True
+    assert out[0] == 50.001
+
+
+def test_telemetry_log_roundtrip(tmp_path):
+    log = telemetry.TelemetryLog()
+    log.append(telemetry.make_record(0.1, 1.0, 100))
+    log.append(telemetry.make_record(0.2, 2.0, 200))
+    p = str(tmp_path / "t.jsonl")
+    log.save_jsonl(p)
+    log2 = telemetry.TelemetryLog.load_jsonl(p)
+    assert log2.records == log.records
+
+
+def test_cli_detect_and_calibrate(capture_set, tmp_path):
+    paths, ants = capture_set
+    pos = ";".join(f"{x},{y}" for x, y in ants)
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    r = subprocess.run(
+        [sys.executable, "-m", "gps_jamming_tpu", "detect", *paths,
+         "--positions", pos, "--no-receiver",
+         "--telemetry-out", str(tmp_path / "tel.jsonl")],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout)
+    assert out["n_events"] == 1
+    assert out["localization"]["success"]
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "gps_jamming_tpu", "calibrate", paths[0]],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=200)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out2 = json.loads(r2.stdout)
+    assert out2["suggested_threshold"] > 0
+
+
+def test_cli_simulate_and_spectrum(tmp_path):
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    r = subprocess.run(
+        [sys.executable, "-m", "gps_jamming_tpu", "simulate",
+         "--kind", "cw", "--out", str(tmp_path / "sim"),
+         "--seconds", "0.5", "--antennas", "2"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    written = json.loads(r.stdout)["written"]
+    assert len(written) == 2
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "gps_jamming_tpu", "spectrum", written[0],
+         "--out", str(tmp_path / "psd.npz")],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out = json.loads(r2.stdout)
+    # CW jammer at +100 kHz must appear as the peak
+    assert abs(out["peak_freq_mhz"] - 0.1) < 0.02
+    npz = np.load(str(tmp_path / "psd.npz"))
+    assert npz["spectrogram_db"].shape[1] == 1024
