@@ -53,7 +53,8 @@ def gps_replica_table_host(sample_rate: float, n_samples: int):
 
 def acquire_all(blocks, replica_fft_conj,
                 sample_rate: float, cfg: AcquisitionConfig,
-                code_period_s: float = C.GPS_CA_PERIOD_S) -> AcquisitionResult:
+                code_period_s: float = C.GPS_CA_PERIOD_S,
+                code_len_chips: float = 1023.0) -> AcquisitionResult:
     """Acquire every PRN from `n_integration` code-period blocks.
 
     blocks: (n_intg, n_samples) complex or CArray baseband, one code period
@@ -63,12 +64,13 @@ def acquire_all(blocks, replica_fft_conj,
                                              cfg.doppler_step_hz))
     surf = caf_ops.caf_accumulate(blocks, replica_fft_conj, freqs,
                                   sample_rate)           # (n_prn, n_f, n)
-    return acquisition_test(surf, freqs, sample_rate, cfg, code_period_s)
+    return acquisition_test(surf, freqs, sample_rate, cfg, code_period_s,
+                            code_len_chips)
 
 
 def acquisition_test(surf: jax.Array, freqs: jax.Array, sample_rate: float,
-                     cfg: AcquisitionConfig,
-                     code_period_s: float) -> AcquisitionResult:
+                     cfg: AcquisitionConfig, code_period_s: float,
+                     code_len_chips: float = 1023.0) -> AcquisitionResult:
     """Vectorized `checkacquisition` (sdracq.c:52-81) over the PRN axis.
 
     Peak over (Doppler, lag); second peak and mean taken over the SAME
@@ -76,8 +78,7 @@ def acquisition_test(surf: jax.Array, freqs: jax.Array, sample_rate: float,
     C/N0 = 10*log10(peak/mean/Tcode); acquired when peak/second > threshold.
     """
     n_prn, n_freq, n = surf.shape
-    n_chips = 1023.0 if code_period_s == C.GPS_CA_PERIOD_S else 511.0
-    nsampchip = max(int(round(n / n_chips)), 1)
+    nsampchip = max(int(round(n / code_len_chips)), 1)
     excl = int(cfg.exclude_chips * nsampchip)
 
     flat = surf.reshape(n_prn, n_freq * n)

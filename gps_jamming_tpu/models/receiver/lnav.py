@@ -375,41 +375,41 @@ def decode_stream(bits: np.ndarray, prn: int = 0):
     have = []
     anchors = []
     bits = np.asarray(bits, dtype=np.int64) & 1
-    for start in find_preamble(bits):
-        stream = bits[start:]
-        first = stream[:SUBFRAME_BITS]
-        seeds = None
-        if start >= 2:
-            seeds = (int(bits[start - 2]), int(bits[start - 1]))
-            if decode_subframe(first, *seeds)[0] is None:
-                seeds = None
-        if seeds is None:
-            for d29 in (0, 1):
-                for d30 in (0, 1):
-                    if decode_subframe(first, d29, d30)[0] is not None:
-                        seeds = (d29, d30)
-                        break
-                if seeds:
-                    break
-        if seeds is None:
+    # worklist: double-preamble candidates, plus the position right after
+    # every successfully decoded subframe (covers the stream tail, which
+    # has no following preamble to certify it)
+    queue = sorted(set(find_preamble(bits)))
+    processed: set[int] = set()
+    while queue:
+        start = queue.pop(0)
+        if start in processed or start + SUBFRAME_BITS > bits.size:
             continue
-        d29, d30 = seeds
-        n_sf = stream.size // SUBFRAME_BITS
-        for k in range(n_sf):
-            sf = stream[k * SUBFRAME_BITS:(k + 1) * SUBFRAME_BITS]
-            sf_id, fields, tow_s = decode_subframe(sf, d29, d30)
-            d29, d30 = int(sf[-2]), int(sf[-1])
+        processed.add(start)
+        sf_bits = bits[start:start + SUBFRAME_BITS]
+        # seed candidates: the two raw bits preceding this subframe first
+        # (each subframe re-syncs independently so a jam-corrupted
+        # neighbour cannot poison it), then all four combos as fallback
+        seed_cands = []
+        if start >= 2:
+            seed_cands.append((int(bits[start - 2]), int(bits[start - 1])))
+        seed_cands += [(a, b) for a in (0, 1) for b in (0, 1)]
+        for d29, d30 in seed_cands:
+            sf_id, fields, tow_s = decode_subframe(sf_bits, d29, d30)
             if sf_id is None:
                 continue
-            anchors.append((start + k * SUBFRAME_BITS, sf_id, tow_s))
-            if not fields:
-                continue
-            for name, val in fields.items():
-                setattr(eph, name, val)
-            eph.tow_s = tow_s
-            if sf_id not in have:
-                have.append(sf_id)
-        break
+            anchors.append((start, sf_id, tow_s))
+            if fields:
+                for name, val in fields.items():
+                    setattr(eph, name, val)
+                eph.tow_s = tow_s
+                if sf_id not in have:
+                    have.append(sf_id)
+            nxt = start + SUBFRAME_BITS
+            if nxt not in processed:
+                queue.append(nxt)
+                queue.sort()
+            break
+    anchors.sort()
     eph.have_subframes = tuple(have)
     return eph, anchors
 

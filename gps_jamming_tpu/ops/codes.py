@@ -102,6 +102,32 @@ def resample_code(code: jax.Array, code_freq_hz: float | jax.Array,
     return jnp.take(code, idx, axis=-1)
 
 
+def resample_code_bandlimited(code: jax.Array, code_freq_hz: float,
+                              sample_rate_hz: float, n_samples: int,
+                              rem_chips: float = 0.0,
+                              oversample: int = 4) -> jax.Array:
+    """Band-limited resample of a chip sequence (simulation-side).
+
+    Models the receiver front-end: the code waveform is sampled at
+    `oversample x sample_rate`, brick-wall filtered to +/- sample_rate/2,
+    and decimated. Without this, nearest-neighbor sampling of square-wave
+    codes aliases out-of-band lines into the Doppler search band — e.g.
+    BOC(1,1)'s doubled-subcarrier product at 2.046 MHz folds to -2 kHz at
+    a 2.048 MS/s rate, which can out-power the true acquisition peak. A
+    real capture never contains that line (the RTL-SDR front-end filters
+    before sampling), so synthetic fixtures must not either.
+    """
+    n_hi = n_samples * oversample
+    hi = resample_code(code, code_freq_hz, sample_rate_hz * oversample,
+                       n_hi, rem_chips)
+    spec = jnp.fft.fft(hi.astype(jnp.complex64), axis=-1)
+    keep = n_samples // 2
+    low = jnp.concatenate([spec[..., :keep], spec[..., -keep:]], axis=-1)
+    # ifft(n_samples) normalizes by n_samples, not n_hi: rescale by 1/os
+    return (jnp.real(jnp.fft.ifft(low, axis=-1)) / oversample) \
+        .astype(jnp.float32)
+
+
 def sampled_code_fft_conj(code_table: np.ndarray, code_freq_hz: float,
                           sample_rate_hz: float, n_samples: int) -> jax.Array:
     """Precompute conj(FFT(sampled code)) replicas for acquisition.

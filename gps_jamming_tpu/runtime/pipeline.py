@@ -72,7 +72,7 @@ def build_telemetry_frames(res: rx_mod.ReceiverResult, n_epochs: int,
         for f in range(n_frames):
             m = (f + 1) * TELEMETRY_MS
             k = int(np.searchsorted(fix_ep, m, side="right")) - 1
-            if k < 0:
+            if k < 0 or m - fix_ep[k] > 300:
                 continue
             sol = res.fixes[k]
             r = np.abs(sol.residuals_m[np.asarray(sol.residuals_m) != 0.0])
@@ -141,7 +141,10 @@ def analyze_capture(paths: Sequence[str],
             fix = None
             if fix_ep is not None:
                 k = int(np.searchsorted(fix_ep, m, side="right")) - 1
-                if k >= 0 and res.fixes[k].valid:
+                # a fix is "current" only within one PVT cadence + one
+                # frame; stale fixes must not masquerade as live telemetry
+                if (k >= 0 and res.fixes[k].valid
+                        and m - fix_ep[k] <= 300):
                     fix = res.fixes[k]
             is_hold = False
             if fix is not None:
