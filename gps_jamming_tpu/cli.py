@@ -40,7 +40,7 @@ def cmd_detect(args) -> int:
     res = pipeline.analyze_capture(
         args.files, antenna_positions=positions,
         run_receiver=not args.no_receiver, localize=not args.no_localize,
-        max_seconds=args.max_seconds)
+        max_seconds=args.max_seconds, system=args.system)
     out = {
         "power_ranges_bytes": res.power_ranges,
         "events": res.events,
@@ -155,7 +155,8 @@ def cmd_receiver(args) -> int:
     x = iq.read_iq_file(args.file, convention="centered",
                         count=(int(args.max_seconds * args.sample_rate) * 2
                                if args.max_seconds else -1))
-    res = rx_mod.run_receiver(x.astype(np.complex64), args.sample_rate)
+    res = rx_mod.run_receiver(x.astype(np.complex64), args.sample_rate,
+                              system=args.system)
     fix = res.best_fix
     out = {
         "acquired": [
@@ -164,7 +165,8 @@ def cmd_receiver(args) -> int:
              "cn0_dbhz": round(c.cn0_dbhz, 1)}
             for c in res.channels if c.acquired],
         "decoded_prns": [c.prn for c in res.channels
-                         if c.obs is not None and c.obs.eph.complete],
+                         if c.obs is not None
+                         and rx_mod._eph_complete(args.system, c.obs.eph)],
         "n_fixes": len([f for f in res.fixes if f.valid]),
         "fix": None if fix is None else {
             "lat": fix.lat_deg, "lon": fix.lon_deg, "hgt": fix.height_m,
@@ -198,6 +200,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--no-localize", action="store_true")
     d.add_argument("--max-seconds", type=float)
     d.add_argument("--telemetry-out", help="write JSONL telemetry here")
+    d.add_argument("--system", default="gps",
+                   choices=["gps", "glonass", "galileo"],
+                   help="constellation (the reference's -g/-l/-a modes)")
     d.set_defaults(fn=cmd_detect)
 
     loc = sub.add_parser("localize", help="RSSI + TDOA localization")
@@ -236,6 +241,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("file")
     r.add_argument("--sample-rate", type=float, default=2.048e6)
     r.add_argument("--max-seconds", type=float)
+    r.add_argument("--system", default="gps",
+                   choices=["gps", "glonass", "galileo"],
+                   help="constellation (the reference's -g/-l/-a modes)")
     r.set_defaults(fn=cmd_receiver)
     return p
 

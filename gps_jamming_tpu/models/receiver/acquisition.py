@@ -21,6 +21,7 @@ from ...config import AcquisitionConfig, FrontendConfig
 from ...ops import caf as caf_ops
 from ...ops import codes as codes_ops
 from ...ops import corr as corr_ops
+from ...ops import cplx
 from ...utils import constants as C
 
 
@@ -110,3 +111,62 @@ def acquire_all_jit(blocks, replica_fft_conj, sample_rate, cfg,
                     code_period_s=C.GPS_CA_PERIOD_S):
     return acquire_all(blocks, replica_fft_conj, sample_rate, cfg,
                        code_period_s)
+
+
+def refine_doppler(xp, code_table: np.ndarray, lag_samples, doppler_hz,
+                   sample_rate: float, chip_rate: float,
+                   carrier_hz=C.GPS_L1_FREQ_HZ, nominal_offset_hz=0.0,
+                   n_blocks: int = 32, n_sub: int = 4) -> jax.Array:
+    """Fine-Doppler estimate after coarse acquisition (batched, one shot).
+
+    The coarse grid (200 Hz bins, sdr.h:64) leaves errors up to half a bin,
+    but the tracking FLL's epoch-to-epoch discriminator is unambiguous
+    only within +/-1/(2T) — 125 Hz for Galileo's 4 ms epochs — so a
+    half-bin error can false-lock the Costas loop on a +/-k*125 Hz
+    sideband (data symbols flip at every epoch boundary and absorb the
+    leftover phase ramp). Standard fix: refine before handover.
+
+    Per channel, takes `n_blocks` code periods STARTING AT THE ACQUIRED
+    CODE BOUNDARY (so data-symbol edges never fall inside a period), wipes
+    code + coarse carrier, splits each period into `n_sub` sub-correlations
+    and averages the phase advance between adjacent sub-correlations:
+    unambiguous range +/- n_sub/(2T) (+/-500 Hz at E1B), accuracy a few Hz.
+
+    xp: CArray/complex (n,) baseband. code_table: (n_ch, code_len) host
+    chips. doppler_hz: effective baseband frequency per channel (FDMA
+    offset included). Returns refined doppler (n_ch,) float32.
+    """
+    xp = cplx.asarray(xp)
+    n_ch, code_len = code_table.shape
+    n_code = int(round(sample_rate * code_len / chip_rate))
+    n_sub_len = n_code // n_sub
+    n_win = n_blocks * n_sub * n_sub_len
+    lag = jnp.asarray(lag_samples, jnp.int32)
+    dopp = jnp.asarray(doppler_hz, jnp.float32)
+
+    idx = lag[:, None] + jnp.arange(n_win, dtype=jnp.int32)[None, :]
+    win = cplx.apply(lambda a: jnp.take(a, idx, axis=-1,
+                                        mode="clip"), xp)   # (n_ch, n_win)
+    t = jnp.arange(n_win, dtype=jnp.float32) / sample_rate
+    osc = cplx.expi(-2.0 * jnp.pi * dopp[:, None] * t[None, :])
+    # code Doppler scales with the TRUE carrier Doppler (FDMA offset out)
+    offs = jnp.broadcast_to(jnp.asarray(nominal_offset_hz, jnp.float32),
+                            (n_ch,))
+    carr = jnp.broadcast_to(jnp.asarray(carrier_hz, jnp.float32), (n_ch,))
+    fcode = chip_rate * (1.0 + (dopp - offs) / carr)
+    chips = jax.vmap(
+        lambda code, f: codes_ops.resample_code(code, f, sample_rate,
+                                                n_win))(
+        jnp.asarray(code_table, jnp.float32), fcode)
+    mixed = cplx.scale(cplx.mul(win, osc), chips)
+    z = cplx.apply(
+        lambda a: jnp.sum(a.reshape(n_ch, n_blocks, n_sub, n_sub_len), -1),
+        mixed)                                   # (n_ch, n_blocks, n_sub)
+    za = cplx.apply(lambda a: a[..., :-1], z)
+    zb = cplx.apply(lambda a: a[..., 1:], z)
+    prod = cplx.mul_conj(zb, za)
+    s_re = jnp.sum(prod.re, axis=(-2, -1))
+    s_im = jnp.sum(prod.im, axis=(-2, -1))
+    tau = n_sub_len / sample_rate
+    dfreq = jnp.arctan2(s_im, s_re) / (2.0 * jnp.pi * tau)
+    return (dopp + dfreq).astype(jnp.float32)

@@ -260,18 +260,44 @@ def encode_inav_symbols(eph: Ephemeris,
     return np.concatenate(out)
 
 
-def decode_inav_symbols(symbols: np.ndarray, prn: int = 0) -> Ephemeris:
-    """Symbol stream (soft/hard, any alignment) -> Ephemeris.
+WORD_CYCLE = (1, 2, 3, 4, 5)
+PAGE_PAIR_SYMBOLS = 500        # even + odd half pages, 2 s at 250 sps
+SYMBOL_RATE_SPS = 250.0
 
-    Scans for sync patterns, decodes half pages, pairs even/odd, checks
-    CRC, merges word fields (sdrnav_gal.c:20-275 role).
+
+def encode_inav_stream(eph: Ephemeris, start_tow_s: float,
+                       n_page_pairs: int) -> np.ndarray:
+    """Continuous I/NAV symbol stream with live timing.
+
+    Page pair i (2 s, word type WORD_CYCLE[i % 5]) starts at GST
+    start_tow_s + 2*i; every word-5 page carries tow_s = the GST of its
+    OWN even half-page's first symbol edge — the anchor contract
+    decode_inav_stream recovers (the role GPS ToW-in-HOW plays for LNAV).
+    """
+    import copy
+    out = []
+    for i in range(n_page_pairs):
+        wt = WORD_CYCLE[i % len(WORD_CYCLE)]
+        e = copy.copy(eph)
+        e.tow_s = start_tow_s + 2.0 * i
+        even, odd = build_nominal_page(_pack_word(wt, e))
+        out.append(encode_half_page(even))
+        out.append(encode_half_page(odd))
+    return np.concatenate(out)
+
+
+def decode_inav_stream(symbols: np.ndarray, prn: int = 0
+                       ) -> tuple[Ephemeris, list[tuple[int, float]]]:
+    """Symbol stream -> (Ephemeris, anchors).
+
+    anchors: (symbol index of an even half-page's first symbol, GST tow_s
+    at that edge) for every CRC-valid word-5 page — the transmit-time
+    anchors observables need (sdrnav_gal.c GST→GPST role).
     """
     s = np.asarray(symbols, np.float64)
     eph = Ephemeris(prn=prn)
     have = []
-    # candidate halves at EVERY sync-matching offset (a sync match alone
-    # proves nothing — random data syncs ~2/1024 per offset — so no
-    # symbols are consumed here; the paired-page CRC is the validator)
+    anchors: list[tuple[int, float]] = []
     halves: dict[int, np.ndarray] = {}
     for i in range(s.size - 250 + 1):
         ok, bits = decode_half_page(s[i:i + 250], max_sync_errors=1)
@@ -289,10 +315,23 @@ def decode_inav_symbols(symbols: np.ndarray, prn: int = 0) -> Ephemeris:
             continue
         for k, v in fields.items():
             setattr(eph, k, v)
+        if wt == 5:
+            anchors.append((p1, fields["tow_s"]))
         if wt not in have:
             have.append(wt)
-    # Galileo completeness: words 1-4 give the orbit+clock; 5 gives GST
     eph.have_subframes = tuple(sorted(have))
+    return eph, anchors
+
+
+def decode_inav_symbols(symbols: np.ndarray, prn: int = 0) -> Ephemeris:
+    """Symbol stream (soft/hard, any alignment) -> Ephemeris.
+
+    Scans for sync patterns at every offset (a sync match alone proves
+    nothing — random data syncs ~2/1024 per offset — so no symbols are
+    consumed on a match), decodes half pages, pairs even/odd by position,
+    checks CRC, merges word fields (sdrnav_gal.c:20-275 role).
+    """
+    eph, _ = decode_inav_stream(symbols, prn=prn)
     return eph
 
 

@@ -191,7 +191,8 @@ def _u(bits) -> int:
 # without touching the field math):
 #   all strings: d[0:4] = string number m
 #   m=1..3: vel d[9:33], acc d[33:38], pos d[38:65]  (x/y/z for m=1/2/3)
-#   m=1 adds tk d[65:77]; m=2 adds tb d[65:72]
+#   m=1 adds tk seconds (17 bits: high d[4:9], low d[65:77]);
+#   m=2 adds tb d[65:72]
 #   m=4: tau d[4:26], gamma d[26:37]
 
 _POS_SCALE = 2.0 ** -11 * 1e3
@@ -211,12 +212,14 @@ def encode_eph_strings(eph: GloEphemeris) -> list[np.ndarray]:
             d[33:38] = _pack_sgn_mag(eph.acc_mps2[i], 5, _ACC_SCALE)
             d[38:65] = _pack_sgn_mag(eph.pos_m[i], 27, _POS_SCALE)
         if m == 1:
-            hrs = int(eph.tk_s // 3600)
-            mins = int((eph.tk_s % 3600) // 60)
-            half = int((eph.tk_s % 60) // 30)
-            d[65:70] = _pack_u(hrs, 5)
-            d[70:76] = _pack_u(mins, 6)
-            d[76] = half
+            # framework-canonical tk: 17 bits of whole seconds split across
+            # the spare d[4:9] (high) + d[65:77] (low) fields — the ICD's
+            # 30 s hh/mm/half-min tk cannot timestamp our 2 s string
+            # cadence (real GLONASS anchors strings within 30 s frames;
+            # the field MATH is unchanged, only the packing is canonical)
+            tk = int(round(eph.tk_s)) & 0x1FFFF
+            d[4:9] = _pack_u(tk >> 12, 5)
+            d[65:77] = _pack_u(tk & 0xFFF, 12)
         if m == 2:
             d[65:72] = _pack_u(int(eph.tb_s // 900), 7)
         if m == 4:
@@ -246,8 +249,7 @@ def decode_strings(strings: list[np.ndarray],
             acc[m - 1] = _sgn_mag(d[33:38], _ACC_SCALE)
             pos[m - 1] = _sgn_mag(d[38:65], _POS_SCALE)
         if m == 1:
-            eph.tk_s = (_u(d[65:70]) * 3600 + _u(d[70:76]) * 60
-                        + int(d[76]) * 30)
+            eph.tk_s = float((_u(d[4:9]) << 12) | _u(d[65:77]))
         if m == 2:
             eph.tb_s = _u(d[65:72]) * 900.0
         if m == 4:
@@ -262,34 +264,85 @@ def decode_strings(strings: list[np.ndarray],
     return eph
 
 
-def symbols_to_strings(symbols01: np.ndarray):
-    """Line symbols (100 sps, 0/1 hard decisions) -> KX-checked strings.
+def symbols_to_strings_pos(symbols01: np.ndarray,
+                           max_mark_errors: int = 1
+                           ) -> list[tuple[int, np.ndarray]]:
+    """Line symbols (100 sps, 0/1 hard decisions) -> [(time-mark start
+    index, 85-bit string)].
 
     Time-mark correlation locates string boundaries (sdrnav_glo.c time
-    mark search); each following 170 data symbols de-meander (pairs
-    [d, ~d]) into 85 bits.
+    mark search, both polarities, up to `max_mark_errors` symbol errors —
+    the KX check is the real validator); each following 170 data symbols
+    de-meander (pairs [d, ~d]) into 85 bits.
     """
     sym = np.asarray(symbols01, np.int64) & 1
     n = sym.size
     mark = TIME_MARK
-    # correlate both polarities
-    best = []
+    out = []
     for start in range(0, n - (MARK_SYMBOLS + DATA_SYMBOLS) + 1):
         w = sym[start:start + MARK_SYMBOLS]
-        if np.array_equal(w, mark) or np.array_equal(w ^ 1, mark):
-            best.append((start, int(np.array_equal(w ^ 1, mark))))
-    strings = []
-    for start, flip in best:
+        d_pos = int(np.sum(w ^ mark))
+        d_neg = MARK_SYMBOLS - d_pos
+        if min(d_pos, d_neg) > max_mark_errors:
+            continue
+        flip = 1 if d_neg < d_pos else 0
         data = sym[start + MARK_SYMBOLS:
                    start + MARK_SYMBOLS + DATA_SYMBOLS] ^ flip
-        if data.size < DATA_SYMBOLS:
-            break
         pairs = data.reshape(85, 2)
-        # meander: symbol pair (b, ~b) encodes bit b
-        if not np.all(pairs[:, 0] ^ pairs[:, 1] == 1):
+        # meander: symbol pair (b, ~b) encodes bit b; tolerate a few
+        # broken pairs as long as the KX check of the result passes
+        if int(np.sum(pairs[:, 0] ^ pairs[:, 1] != 1)) > 4:
             continue
-        strings.append(pairs[:, 0])
-    return strings
+        bits = pairs[:, 0]
+        if check_string(bits)[0]:
+            out.append((start, bits))
+    return out
+
+
+def symbols_to_strings(symbols01: np.ndarray):
+    """KX-checked strings without positions (compatibility form)."""
+    return [s for _, s in symbols_to_strings_pos(symbols01)]
+
+
+STRING_SYMBOLS = MARK_SYMBOLS + DATA_SYMBOLS     # 200 symbols = 2 s
+SYMBOL_RATE_SPS = 100.0
+CYCLE_STRINGS = (1, 2, 3, 4)
+
+
+def encode_gnav_stream(eph: GloEphemeris, start_tk_s: float,
+                       n_cycles: int) -> np.ndarray:
+    """Continuous GNAV line-symbol stream with live timing.
+
+    Cycle c (8 s) sends strings 1-4; string m starts at
+    start_tk_s + 8c + 2(m-1), and each cycle's string 1 carries
+    tk = its OWN time-mark start second — the anchor contract
+    decode_gnav_stream recovers.
+    """
+    import copy
+    out = []
+    for c in range(n_cycles):
+        e = copy.copy(eph)
+        e.tk_s = start_tk_s + 8.0 * c
+        out.append(bits_to_symbols(encode_eph_strings(e)))
+    return np.concatenate(out)
+
+
+def decode_gnav_stream(symbols01: np.ndarray, freq_ch: int = 0
+                       ) -> tuple[GloEphemeris, list[tuple[int, float]]]:
+    """Symbol stream -> (GloEphemeris, anchors).
+
+    anchors: (symbol index of a string-1 time-mark start, tk_s at that
+    edge) — the GLONASS transmit-time anchors (sdrnav_glo.c role).
+    """
+    found = symbols_to_strings_pos(symbols01)
+    eph = decode_strings([s for _, s in found], freq_ch=freq_ch)
+    anchors = []
+    for pos, s in found:
+        ok, d = check_string(s)
+        if ok and _u(d[0:4]) == 1:
+            tk = float((_u(d[4:9]) << 12) | _u(d[65:77]))
+            anchors.append((pos, tk))
+    return eph, anchors
 
 
 def bits_to_symbols(strings: list[np.ndarray]) -> np.ndarray:

@@ -79,28 +79,48 @@ def extract_bits(i_prompt: np.ndarray, phase: int,
 
 @dataclasses.dataclass
 class ChannelObservables:
-    """Per-channel decoded timing + ephemeris."""
+    """Per-channel decoded timing + ephemeris (any constellation: `eph` is
+    lnav.Ephemeris for GPS/Galileo, glonass.GloEphemeris for GLONASS)."""
     prn: int
-    eph: lnav.Ephemeris
+    eph: object
     chips: np.ndarray            # (n_epochs,) cumulative chips @ win start
     anchor_chip: float           # chip count at the anchor subframe start
-    anchor_tow: float            # GPS ToW at that chip
+    anchor_tow: float            # constellation ToW at that chip
     cn0_dbhz: np.ndarray         # (n_epochs,)
     doppler_hz: np.ndarray       # (n_epochs,) tracked carrier frequency
     sync_quality: float
+    chip_rate_hz: float = C.GPS_CA_CHIP_RATE_HZ
+    sample_offset: float = 0.0   # per-channel window start sample
+    epoch_samples: int = 0       # samples per tracking epoch
 
     def transmit_time(self, epoch: int | np.ndarray) -> np.ndarray:
-        """GPS ToW of the signal at the window-start sample of `epoch`."""
+        """ToW of the signal at the window-start sample of `epoch`
+        (sample sample_offset + epoch * epoch_samples of the capture)."""
         return (self.anchor_tow
                 + (self.chips[epoch] - self.anchor_chip)
-                / C.GPS_CA_CHIP_RATE_HZ)
+                / self.chip_rate_hz)
+
+    def transmit_time_common(self, epoch: int) -> float:
+        """ToW of the signal at the channel-independent capture sample
+        epoch * epoch_samples: removes the per-channel code-phase-aligned
+        window offset so all channels share one reception instant (the
+        sdrsync.c:47-93 common-snapshot role)."""
+        t = float(self.transmit_time(epoch))
+        if self.sample_offset and self.epoch_samples:
+            k = max(int(epoch), 1)
+            chips_per_sample = (self.chips[k] - self.chips[k - 1]) \
+                / self.epoch_samples
+            t -= self.sample_offset * chips_per_sample / self.chip_rate_hz
+        return t
 
 
 def build_channel_observables(prn: int, i_prompt: np.ndarray,
                               code_rem: np.ndarray, carr_freq: np.ndarray,
                               cn0: np.ndarray,
                               skip_epochs: int = 1000,
-                              min_sync_quality: float = 0.8
+                              min_sync_quality: float = 0.8,
+                              sample_offset: float = 0.0,
+                              epoch_samples: int = 0
                               ) -> ChannelObservables | None:
     """Full host pipeline for one channel: bit sync -> LNAV decode ->
     chip-count anchor. Returns None when sync/decode fails.
@@ -126,7 +146,8 @@ def build_channel_observables(prn: int, i_prompt: np.ndarray,
         prn=prn, eph=eph, chips=chips, anchor_chip=float(anchor_chip),
         anchor_tow=float(tow_s), cn0_dbhz=np.asarray(cn0, np.float64),
         doppler_hz=np.asarray(carr_freq, np.float64),
-        sync_quality=quality)
+        sync_quality=quality, sample_offset=sample_offset,
+        epoch_samples=epoch_samples)
 
 
 def form_pseudoranges(channels: list[ChannelObservables],
@@ -136,7 +157,7 @@ def form_pseudoranges(channels: list[ChannelObservables],
     Common reception time = earliest transmit time + PTIMING (the
     sdrsync.c:81-93 convention); returns (pr_m (n,), t_tx (n,)).
     """
-    t_tx = np.array([ch.transmit_time(epoch) for ch in channels])
+    t_tx = np.array([ch.transmit_time_common(epoch) for ch in channels])
     # earliest transmit time (farthest satellite) pinned at PTIMING, the
     # sdrsync reference convention (reftow = min tow, sdrsync.c:36-44)
     t_rx = t_tx.min() + PTIMING_S

@@ -86,21 +86,33 @@ class TrackOutputs(NamedTuple):
 
 def init_state(n_ch: int, doppler_hz, code_phase_samples, sample_rate: float,
                code_len: int = C.GPS_CA_CODE_LEN,
-               chip_rate: float = C.GPS_CA_CHIP_RATE_HZ) -> TrackState:
+               chip_rate: float = C.GPS_CA_CHIP_RATE_HZ,
+               carrier_hz=C.GPS_L1_FREQ_HZ,
+               nominal_offset_hz=0.0) -> TrackState:
     """Seed tracking state from acquisition results.
 
     `code_phase_samples` is the acquisition peak lag: the sample index within
     the block where the code begins (sdracq.c -> sdrtrk handover). The code
     phase at window start (sample 0) is therefore -lag in chips, i.e.
     code_len - lag*chips_per_sample (mod code_len).
+
+    `doppler_hz` is the true Doppler relative to each channel's carrier;
+    `nominal_offset_hz` (scalar or per-channel) is a static baseband offset
+    the carrier NCO must also track — the GLONASS FDMA channel offset after
+    front-end mix-down (sdrinit.c:391-399). The stored carr_freq state is
+    offset + Doppler; code aiding subtracts the offset (see make_tracker).
     """
     doppler = jnp.broadcast_to(jnp.asarray(doppler_hz, jnp.float32), (n_ch,))
+    offset = jnp.broadcast_to(jnp.asarray(nominal_offset_hz, jnp.float32),
+                              (n_ch,))
+    carrier = jnp.broadcast_to(jnp.asarray(carrier_hz, jnp.float32), (n_ch,))
     lag = jnp.broadcast_to(jnp.asarray(code_phase_samples, jnp.float32),
                            (n_ch,))
     chips_per_sample = chip_rate / sample_rate
     rem = (-lag * chips_per_sample) % code_len
     # carrier-aided code frequency (sdrtrk.c:105-107)
-    fcode = chip_rate * (1.0 + doppler / C.GPS_L1_FREQ_HZ)
+    fcode = chip_rate * (1.0 + doppler / carrier)
+    doppler = doppler + offset
     z = jnp.zeros((n_ch,), jnp.float32)
     return TrackState(
         carr_freq_hz=doppler, carr_phase_rad=z,
@@ -116,7 +128,8 @@ def _tap_correlate(x: cplx.CArray, code_table: jax.Array, state: TrackState,
                    code_len: int) -> tuple[jax.Array, jax.Array]:
     """All-tap correlation for every channel in one batched matmul.
 
-    x: (n,) planar window shared by all channels.
+    x: (n,) planar window shared by all channels, or (n_ch, n)
+    per-channel windows (code-phase-aligned gathers).
     code_table: (n_ch, code_len) +/-1 chips.
     Returns (I, Q) of shape (n_ch, 2*n_taps+1), taps ordered
     [-n_taps..+n_taps] * tap_spacing samples (early -> late).
@@ -130,7 +143,8 @@ def _tap_correlate(x: cplx.CArray, code_table: jax.Array, state: TrackState,
     phase = (state.carr_phase_rad[:, None]
              + 2.0 * jnp.pi * state.carr_freq_hz[:, None] * t[None, :])
     nco = cplx.expi(-phase)                                  # (n_ch, n)
-    mixed = cplx.mul(cplx.apply(lambda a: a[None, :], x), nco)
+    xb = cplx.apply(lambda a: a[None, :] if a.ndim == 1 else a, x)
+    mixed = cplx.mul(xb, nco)
 
     # tap code replicas: chip phase per (channel, tap, sample)
     tap_off = (jnp.arange(-n_taps, n_taps + 1, dtype=jnp.float32)
@@ -164,10 +178,18 @@ def _discriminators(corr_i: jax.Array, corr_q: jax.Array, state: TrackState,
     qp = corr_q[:, n_taps]
     # PLL: Costas atan(Q/I) [rad]
     perr = jnp.arctan2(qp * jnp.sign(ip), jnp.abs(ip))
-    # FLL: frequency error from successive prompts [Hz]
+    # FLL: frequency error from successive prompts [Hz]. The
+    # cross*sign(dot) form is invariant under a data-symbol flip between
+    # the prompts (a flip negates BOTH cross and dot): without it, the
+    # measured error flips sign on every symbol transition, which for
+    # Galileo E1B (one symbol per epoch, p=0.5 flips) zeroes the
+    # deterministic pull and turns the FLL into a pure noise random walk
+    # onto the +/-k*125 Hz Costas lattice. Range +/-1/(4*dt).
     cross = state.ip_prev * qp - state.qp_prev * ip
     dot = state.ip_prev * ip + state.qp_prev * qp
-    ferr = jnp.arctan2(cross, jnp.abs(dot) + 1e-12) / (2.0 * jnp.pi * dt)
+    dsign = jnp.where(dot >= 0.0, 1.0, -1.0)
+    ferr = jnp.arctan2(cross * dsign, jnp.abs(dot) + 1e-12) \
+        / (2.0 * jnp.pi * dt)
     # DLL: innermost early/late envelope pair
     ie, qe = corr_i[:, n_taps - 1], corr_q[:, n_taps - 1]
     il, ql = corr_i[:, n_taps + 1], corr_q[:, n_taps + 1]
@@ -181,11 +203,16 @@ def make_tracker(code_table: np.ndarray, sample_rate: float,
                  cfg: TrackingConfig,
                  code_len: int = C.GPS_CA_CODE_LEN,
                  chip_rate: float = C.GPS_CA_CHIP_RATE_HZ,
-                 carrier_hz: float = C.GPS_L1_FREQ_HZ,
-                 epoch_ms: float = 1.0):
+                 carrier_hz=C.GPS_L1_FREQ_HZ,
+                 epoch_ms: float = 1.0,
+                 nominal_offset_hz=0.0):
     """Build the jittable multi-channel tracking step + scan runner.
 
     code_table: (n_ch, code_len) host numpy +/-1 chips for the tracked PRNs.
+    carrier_hz / nominal_offset_hz: scalar or per-channel (n_ch,) — FDMA
+    constellations track carr_freq = channel offset + Doppler, and the
+    carrier-aided code NCO must scale only the Doppler part by
+    chip_rate/carrier (sdrtrk.c:105-107 with the sdrinit.c:391-399 mapping).
     Returns (step, run) where
       step(state, x_window: CArray (n,)) -> (state', TrackOutputs-per-epoch)
       run(state, x: CArray (n_epochs*n,)) -> (state', TrackOutputs stacked)
@@ -193,16 +220,32 @@ def make_tracker(code_table: np.ndarray, sample_rate: float,
     dt = epoch_ms * 1e-3
     n_epoch = int(round(sample_rate * dt))
     table = jnp.asarray(code_table, jnp.float32)
+    n_ch_static = code_table.shape[0]
+    carrier_v = jnp.broadcast_to(
+        jnp.asarray(carrier_hz, jnp.float32), (n_ch_static,))
+    offset_v = jnp.broadcast_to(
+        jnp.asarray(nominal_offset_hz, jnp.float32), (n_ch_static,))
     n_taps = cfg.n_taps
     # tap index used for the noise floor: the outermost early tap sits
     # n_taps*spacing samples (~2 chips at 2 taps/chip) off prompt.
     # loop gain 1.0: the atan discriminators have unit slope, and the
     # discrete-time stability bound c1*2*pi*dt < 2 requires it at these
     # bandwidths (gain k scales c1 = 2*damping*wn/k).
-    c1p_pull, c2p_pull = loop_coeffs(cfg.pll_bw_pullin_hz, cfg.damping, dt)
-    c1p_lock, c2p_lock = loop_coeffs(cfg.pll_bw_locked_hz, cfg.damping, dt)
-    c1d_pull, c2d_pull = loop_coeffs(cfg.dll_bw_pullin_hz, cfg.damping, dt)
-    c1d_lock, c2d_lock = loop_coeffs(cfg.dll_bw_locked_hz, cfg.damping, dt)
+    # The configured bandwidths assume 1 ms epochs (sdrinit.c:27-32);
+    # since c1 = 2*damping*(bw/0.53) is dt-independent, a longer coherent
+    # epoch (Galileo's 4 ms) can push 2*pi*c1*dt past 2 and the phase
+    # loop period-2 diverges. Clamp the effective bandwidth so the
+    # proportional gain stays at <= 0.5 of the stability bound — the
+    # discrete-time analogue of "B*T must stay small" (Kaplan 5.5).
+    bw_max = 0.5 / (2.0 * np.pi * (2.0 * cfg.damping / 0.53) * dt)
+    c1p_pull, c2p_pull = loop_coeffs(min(cfg.pll_bw_pullin_hz, bw_max),
+                                     cfg.damping, dt)
+    c1p_lock, c2p_lock = loop_coeffs(min(cfg.pll_bw_locked_hz, bw_max),
+                                     cfg.damping, dt)
+    c1d_pull, c2d_pull = loop_coeffs(min(cfg.dll_bw_pullin_hz, bw_max),
+                                     cfg.damping, dt)
+    c1d_lock, c2d_lock = loop_coeffs(min(cfg.dll_bw_locked_hz, bw_max),
+                                     cfg.damping, dt)
     # staged pull-in: a 1st-order FLL alone closes the coarse (200 Hz
     # acquisition bin) frequency error, then the PLL takes over — running
     # both discriminators into one NCO simultaneously is the classic
@@ -235,7 +278,8 @@ def make_tracker(code_table: np.ndarray, sample_rate: float,
         # DLL correction (SoftGNSS codeNco form)
         code_nco = (state.code_nco_hz
                     + c1d * (derr - state.derr_prev) + c2d * derr)
-        code_freq = chip_rate * (1.0 + carr_freq / carrier_hz) - code_nco
+        code_freq = chip_rate * (1.0 + (carr_freq - offset_v) / carrier_v) \
+            - code_nco
 
         # advance NCO phases over the epoch
         carr_phase = (state.carr_phase_rad
@@ -267,12 +311,41 @@ def make_tracker(code_table: np.ndarray, sample_rate: float,
             perr=perr, derr=derr)
         return new, out
 
-    def run(state: TrackState, x: cplx.CArray, start_epoch: int = 0):
-        n_epochs = x.shape[-1] // n_epoch
-        windows = cplx.apply(
-            lambda a: a[..., : n_epochs * n_epoch].reshape(n_epochs, n_epoch),
-            x)
-        idx = jnp.arange(n_epochs) + start_epoch
-        return jax.lax.scan(step, state, (windows, idx))
+    def run(state: TrackState, x: cplx.CArray, start_epoch: int = 0,
+            start_offsets=None):
+        """Scan the tracker over a capture.
+
+        start_offsets: optional (n_ch,) int per-channel window start
+        samples. With offsets, channel c's epoch-k window is
+        x[off_c + k*n_epoch : ...] — gathered per step with
+        dynamic_slice so the capture stays resident once. Aligning
+        offsets to each channel's acquired code boundary keeps data-
+        symbol edges OUT of the correlation windows, which is essential
+        when the symbol period equals the epoch (Galileo E1B: one 250 sps
+        symbol per 4 ms code period — a mid-window flip cancels the
+        prompt; the reference gets alignment for free from its
+        variable-length per-channel grabs, sdrtrk.c:16-18).
+        """
+        if start_offsets is None:
+            n_epochs = x.shape[-1] // n_epoch
+            windows = cplx.apply(
+                lambda a: a[..., : n_epochs * n_epoch]
+                .reshape(n_epochs, n_epoch), x)
+            idx = jnp.arange(n_epochs) + start_epoch
+            return jax.lax.scan(step, state, (windows, idx))
+
+        offs = jnp.asarray(start_offsets, jnp.int32)
+        n_epochs = int((x.shape[-1] - int(np.max(start_offsets)))
+                       // n_epoch)
+
+        def gather_step(st, k):
+            starts = offs + k * n_epoch
+            win = cplx.apply(
+                lambda a: jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(a, (s,), (n_epoch,))
+                )(starts), x)
+            return step(st, (win, k + start_epoch))
+
+        return jax.lax.scan(gather_step, state, jnp.arange(n_epochs))
 
     return step, run, n_epoch

@@ -62,10 +62,13 @@ def build_telemetry_frames(res: rx_mod.ReceiverResult, n_epochs: int,
     nsat = np.zeros(n_frames)
 
     live = [c.obs for c in res.channels if c.obs is not None] if res else []
+    epoch_ms = res.epoch_ms if res is not None else 1.0
     for f in range(n_frames):
         m = min((f + 1) * TELEMETRY_MS, n_epochs - 1)
         if live:
-            vals = [ch.cn0_dbhz[m] for ch in live]
+            e = int(m / epoch_ms)
+            vals = [ch.cn0_dbhz[min(e, ch.cn0_dbhz.size - 1)]
+                    for ch in live]
             cn0[f] = float(np.mean(vals))
     if res is not None and res.fixes:
         fix_ep = np.asarray(res.fix_epochs)
@@ -96,9 +99,16 @@ def analyze_capture(paths: Sequence[str],
                     cfg: FrameworkConfig = DEFAULT_CONFIG,
                     run_receiver: bool = True,
                     localize: bool = True,
-                    max_seconds: float | None = None) -> AnalysisResult:
+                    max_seconds: float | None = None,
+                    system: str = "gps") -> AnalysisResult:
     """Analyze 1-3 antenna captures end to end (start_analysis flow,
-    ui_mainwindow.py:653 -> worker.py:477-547)."""
+    ui_mainwindow.py:653 -> worker.py:477-547).
+
+    system: constellation for the receiver chain — the GUI's GPS /
+    GLONASS / Galileo selector (ui_mainwindow.py:60-77; note the
+    reference's GUI->CLI flag mapping is inconsistent, worker.py:104-111
+    vs sdrmain.c:37-55 — here the name is the contract).
+    """
     t_start = time.time()
     fs = cfg.frontend.sample_rate_hz
     n_epoch = int(round(fs * 1e-3))
@@ -116,7 +126,7 @@ def analyze_capture(paths: Sequence[str],
     # 2. receiver chain
     res = None
     if run_receiver:
-        res = rx_mod.run_receiver(x, fs)
+        res = rx_mod.run_receiver(x, fs, system=system)
     n_epochs = x.shape[-1] // n_epoch
 
     # 3. telemetry + detector

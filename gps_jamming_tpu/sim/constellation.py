@@ -55,6 +55,64 @@ def geometric_range(eph: eph_mod.EphArrays, t_gps, rx_ecef: np.ndarray,
     return rho
 
 
+def render_signal(rho_coeffs: np.ndarray, clk0_s: float,
+                 code: np.ndarray, chip_rate: float,
+                 symbols_pm1: np.ndarray, symbol_rate: float,
+                 symbols_t0: float,
+                 t0: float, n_samples: int, fs: float,
+                 carrier_hz: float, baseband_offset_hz: float = 0.0,
+                 amplitude: float = 1.0,
+                 out: np.ndarray | None = None,
+                 chunk: int = 1 << 21) -> np.ndarray:
+    """Render one ranging signal's complex baseband into `out` (complex128).
+
+    Generic over constellation: `code` +/-1 chips at `chip_rate`,
+    `symbols_pm1` +/-1 data symbols at `symbol_rate` anchored at
+    transmit time `symbols_t0`, carrier Doppler from the quadratic range
+    fit `rho_coeffs` (meters vs seconds-since-t0), and a static
+    `baseband_offset_hz` for FDMA carriers away from the front-end
+    centre. Renders in chunks to bound the float64 temporaries (the role
+    of the reference's 1 MiB mixer chunks, spoofer_mixer.py:11).
+    """
+    if out is None:
+        out = np.zeros(n_samples, dtype=np.complex128)
+    code = np.asarray(code, np.float64)
+    code_len = code.size
+    symbols_pm1 = np.asarray(symbols_pm1, np.float64)
+
+    phase0 = None
+    for s0 in range(0, n_samples, chunk):
+        s1 = min(s0 + chunk, n_samples)
+        t = np.arange(s0, s1, dtype=np.float64) / fs
+        rho = np.polyval(rho_coeffs, t)
+        tau = rho / C.SPEED_OF_LIGHT
+        t_tx = t0 + t - tau + clk0_s
+
+        chip_idx = (np.floor(chip_rate * t_tx).astype(np.int64) % code_len)
+        chip_vals = code[chip_idx]
+        sym_idx = np.floor((t_tx - symbols_t0) * symbol_rate) \
+            .astype(np.int64)
+        sym_vals = symbols_pm1[np.clip(sym_idx, 0, symbols_pm1.size - 1)]
+
+        phase = (-2.0 * np.pi * carrier_hz * tau
+                 + 2.0 * np.pi * baseband_offset_hz * t)
+        if phase0 is None:
+            phase0 = phase[0]          # arbitrary initial phase -> 0
+        out[s0:s1] += amplitude * chip_vals * sym_vals * np.exp(
+            1j * (phase - phase0))
+    return out
+
+
+def _range_fit(eph1: eph_mod.EphArrays, t0: float, dur: float,
+               rx_ecef: np.ndarray, grid_step_s: float = 1.0) -> np.ndarray:
+    """Quadratic fit of geometric range over the capture (range accel
+    < 1 m/s^2 keeps the fit error < 1 mm over tens of seconds)."""
+    n_grid = max(int(np.ceil(dur / grid_step_s)) + 2, 5)
+    tg = np.linspace(0.0, dur, n_grid)
+    rho_g = geometric_range(eph1, t0 + tg, rx_ecef)
+    return np.polyfit(tg, rho_g, 2)
+
+
 def render_satellite(eph1: eph_mod.EphArrays, prn: int, rx_ecef: np.ndarray,
                      t0_gps: float, n_samples: int, fs: float,
                      bits: np.ndarray, bits_t0: float,
@@ -62,48 +120,19 @@ def render_satellite(eph1: eph_mod.EphArrays, prn: int, rx_ecef: np.ndarray,
                      grid_step_s: float = 1.0,
                      out: np.ndarray | None = None,
                      chunk: int = 1 << 21) -> np.ndarray:
-    """Render one satellite's complex baseband into `out` (complex128).
+    """Render one GPS satellite's complex baseband into `out`.
 
     eph1: single-satellite EphArrays (shape-(1,) columns).
     t0_gps: GPS ToW at receiver sample 0.
-    bits / bits_t0: LNAV +/-1-valued chips of the data message and the GPS
-    time of the first bit's leading edge. Renders in chunks to bound the
-    float64 temporaries (the role of the reference's 1 MiB mixer chunks,
-    spoofer_mixer.py:11).
+    bits / bits_t0: LNAV +/-1-valued bits of the data message and the GPS
+    time of the first bit's leading edge.
     """
-    if out is None:
-        out = np.zeros(n_samples, dtype=np.complex128)
-    # coarse range grid -> quadratic fit (range accel < 1 m/s^2 keeps the
-    # fit error < 1 mm over tens of seconds)
-    dur = n_samples / fs
-    n_grid = max(int(np.ceil(dur / grid_step_s)) + 2, 5)
-    tg = np.linspace(0.0, dur, n_grid)
-    rho_g = geometric_range(eph1, t0_gps + tg, rx_ecef)
-    coeffs = np.polyfit(tg, rho_g, 2)
+    coeffs = _range_fit(eph1, t0_gps, n_samples / fs, rx_ecef, grid_step_s)
     _, clk = eph_mod.sat_pos_clock(eph1, np.array([t0_gps]))
-    code = codes_ops.gps_ca_code(prn).astype(np.float64)
-    bits = np.asarray(bits, np.float64)
-
-    phase0 = None
-    for s0 in range(0, n_samples, chunk):
-        s1 = min(s0 + chunk, n_samples)
-        t = np.arange(s0, s1, dtype=np.float64) / fs
-        rho = np.polyval(coeffs, t)
-        tau = rho / C.SPEED_OF_LIGHT
-        t_tx = t0_gps + t - tau + clk[0]
-
-        chip_idx = (np.floor(C.GPS_CA_CHIP_RATE_HZ * t_tx).astype(np.int64)
-                    % C.GPS_CA_CODE_LEN)
-        chip_vals = code[chip_idx]
-        bit_idx = np.floor((t_tx - bits_t0) * 50.0).astype(np.int64)
-        bit_vals = bits[np.clip(bit_idx, 0, bits.size - 1)]
-
-        phase = -2.0 * np.pi * C.GPS_L1_FREQ_HZ * tau
-        if phase0 is None:
-            phase0 = phase[0]          # arbitrary initial phase -> 0
-        out[s0:s1] += amplitude * chip_vals * bit_vals * np.exp(
-            1j * (phase - phase0))
-    return out
+    return render_signal(
+        coeffs, float(clk[0]), codes_ops.gps_ca_code(prn),
+        C.GPS_CA_CHIP_RATE_HZ, bits, 50.0, bits_t0, t0_gps, n_samples, fs,
+        C.GPS_L1_FREQ_HZ, 0.0, amplitude, out=out, chunk=chunk)
 
 
 def simulate_constellation(ephs: Sequence[lnav.Ephemeris],
@@ -156,6 +185,159 @@ def simulate_constellation(ephs: Sequence[lnav.Ephemeris],
             prn=eph.prn, range_m=float(rho0), doppler_hz=float(doppler),
             code_phase_chips=float(cp),
             pseudorange_m=float(rho0 - C.SPEED_OF_LIGHT * clk[0])))
+
+    if noise_std > 0.0:
+        rng = np.random.default_rng(seed)
+        out = out + (rng.normal(0.0, noise_std, n_samples)
+                     + 1j * rng.normal(0.0, noise_std, n_samples))
+    return out, truths, rx_ecef
+
+
+# ---------------------------------------------------------------------------
+# Galileo E1B constellation
+# ---------------------------------------------------------------------------
+
+def simulate_galileo_constellation(ephs: Sequence[lnav.Ephemeris],
+                                   rx_lla: tuple[float, float, float],
+                                   tow0: float, n_samples: int, fs: float,
+                                   amplitudes: Sequence[float] | None = None,
+                                   noise_std: float = 0.0, seed: int = 0,
+                                   min_elevation_deg: float = 10.0):
+    """Geometry-true E1B capture: BOC(1,1) codes + live I/NAV pages.
+
+    Same Keplerian geometry as GPS (E1 shares the L1 carrier); the data
+    layer is the 250 sps I/NAV stream of galileo.encode_inav_stream with
+    word-5 GST anchors. Use fs >= 4.096 MS/s: nearest-neighbor BOC
+    synthesis at 2.048 MS/s aliases the doubled-subcarrier line into the
+    Doppler band (see ops.codes.resample_code_bandlimited).
+    """
+    from ..models.receiver import galileo as gal
+
+    rx_ecef = pvt.lla_to_ecef(*rx_lla)
+    batch = eph_mod.stack_ephemeris(ephs)
+    out = np.zeros(n_samples, dtype=np.complex128)
+    truths = []
+    amplitudes = amplitudes or [1.0] * len(ephs)
+
+    pos0, _ = eph_mod.sat_pos_clock(batch, np.full(len(ephs), tow0))
+    e_, n_, u_ = pvt.topocentric(rx_ecef, pos0 - rx_ecef)
+    el = np.rad2deg(np.arctan2(u_, np.hypot(e_, n_)))
+
+    dur = n_samples / fs
+    page0 = np.floor(tow0 / 2.0) * 2.0 - 2.0        # one page of lead-in
+    n_pairs = int(np.ceil((dur + tow0 - page0) / 2.0)) + 2
+
+    for k, eph in enumerate(ephs):
+        if el[k] < min_elevation_deg:
+            continue
+        one = eph_mod.EphArrays(*[c[k:k + 1] for c in batch])
+        sym01 = gal.encode_inav_stream(eph, page0, n_pairs)
+        sym = 1.0 - 2.0 * sym01.astype(np.float64)
+        coeffs = _range_fit(one, tow0, dur, rx_ecef)
+        _, clk = eph_mod.sat_pos_clock(one, np.array([tow0]))
+        render_signal(coeffs, float(clk[0]), gal.e1b_boc_code(eph.prn),
+                      gal.BOC_RATE, sym, gal.SYMBOL_RATE_SPS, page0,
+                      tow0, n_samples, fs, C.GPS_L1_FREQ_HZ, 0.0,
+                      amplitudes[k], out=out)
+
+        rho0 = geometric_range(one, np.array([tow0]), rx_ecef)[0]
+        rho1 = geometric_range(one, np.array([tow0 + 0.5]), rx_ecef)[0]
+        doppler = -(rho1 - rho0) / 0.5 / C.SPEED_OF_LIGHT \
+            * C.GPS_L1_FREQ_HZ
+        t_tx0 = tow0 - rho0 / C.SPEED_OF_LIGHT + clk[0]
+        cp = (gal.BOC_RATE * t_tx0) % gal.BOC_LEN
+        truths.append(SatTruth(
+            prn=eph.prn, range_m=float(rho0), doppler_hz=float(doppler),
+            code_phase_chips=float(cp),
+            pseudorange_m=float(rho0 - C.SPEED_OF_LIGHT * clk[0])))
+
+    if noise_std > 0.0:
+        rng = np.random.default_rng(seed)
+        out = out + (rng.normal(0.0, noise_std, n_samples)
+                     + 1j * rng.normal(0.0, noise_std, n_samples))
+    return out, truths, rx_ecef
+
+
+# ---------------------------------------------------------------------------
+# GLONASS L1OF constellation
+# ---------------------------------------------------------------------------
+
+def glo_geometric_range(geph, t, rx_ecef: np.ndarray,
+                        light_time_iters: int = 2) -> np.ndarray:
+    """GLONASS range at reception time t: RK4 state extrapolation from tb
+    + light-time iteration + Sagnac rotation."""
+    t = np.asarray(t, np.float64)
+    tau = np.full_like(t, 0.085)
+    pos0 = np.asarray(geph.pos_m, np.float64)
+    vel0 = np.asarray(geph.vel_mps, np.float64)
+    acc = np.asarray(geph.acc_mps2, np.float64)
+    for _ in range(light_time_iters + 1):
+        dt = t - tau - geph.tb_s
+        pos = np.stack([eph_mod.glonass_extrapolate(pos0, vel0, acc,
+                                                    float(d)) for d in dt])
+        pos = pvt.sagnac_rotate(pos, tau)
+        rho = np.linalg.norm(pos - rx_ecef, axis=-1)
+        tau = rho / C.SPEED_OF_LIGHT
+    return rho
+
+
+def simulate_glonass_constellation(gephs: Sequence,
+                                   rx_lla: tuple[float, float, float],
+                                   t0: float, n_samples: int, fs: float,
+                                   center_freq_hz: float | None = None,
+                                   amplitudes: Sequence[float] | None = None,
+                                   noise_std: float = 0.0, seed: int = 0,
+                                   min_elevation_deg: float = 10.0):
+    """Geometry-true L1OF capture: FDMA carriers + live GNAV strings.
+
+    gephs: glonass.GloEphemeris records (freq_ch + pos/vel/acc at tb + tau/
+    gamma); satellite motion is the same RK4 force model the receiver's
+    satPos extrapolation uses, so the loop closes exactly. The reference
+    has no GLONASS simulator at all (gps-sdr-sim is GPS-only).
+    """
+    from ..models.receiver import glonass as glo
+    from ..ops.codes import glonass_carrier_hz, glonass_code
+
+    center_freq_hz = center_freq_hz or C.GLO_G1_BASE_FREQ_HZ
+    rx_ecef = pvt.lla_to_ecef(*rx_lla)
+    out = np.zeros(n_samples, dtype=np.complex128)
+    truths = []
+    amplitudes = amplitudes or [1.0] * len(gephs)
+
+    dur = n_samples / fs
+    cyc0 = np.floor(t0 / 8.0) * 8.0 - 8.0
+    n_cycles = int(np.ceil((dur + t0 - cyc0) / 8.0)) + 2
+
+    for k, g in enumerate(gephs):
+        pos0 = np.stack([eph_mod.glonass_extrapolate(
+            np.asarray(g.pos_m, np.float64),
+            np.asarray(g.vel_mps, np.float64),
+            np.asarray(g.acc_mps2, np.float64), float(t0 - g.tb_s))])
+        e_, n_, u_ = pvt.topocentric(rx_ecef, pos0[0] - rx_ecef)
+        el = np.rad2deg(np.arctan2(u_, np.hypot(e_, n_)))
+        if el < min_elevation_deg:
+            continue
+        sym01 = glo.encode_gnav_stream(g, cyc0, n_cycles)
+        sym = 1.0 - 2.0 * sym01.astype(np.float64)
+        carrier = glonass_carrier_hz(g.freq_ch)
+        dur_grid = np.linspace(0.0, dur, max(int(np.ceil(dur)) + 2, 5))
+        rho_g = glo_geometric_range(g, t0 + dur_grid, rx_ecef)
+        coeffs = np.polyfit(dur_grid, rho_g, 2)
+        clk0 = -g.tau_s + g.gamma * (t0 - g.tb_s)
+        render_signal(coeffs, clk0, glonass_code(), C.GLO_CHIP_RATE_HZ,
+                      sym, glo.SYMBOL_RATE_SPS, cyc0, t0, n_samples, fs,
+                      carrier, carrier - center_freq_hz, amplitudes[k],
+                      out=out)
+
+        rho0 = float(rho_g[0])
+        rho1 = glo_geometric_range(g, np.array([t0 + 0.5]), rx_ecef)[0]
+        doppler = -(rho1 - rho0) / 0.5 / C.SPEED_OF_LIGHT * carrier
+        t_tx0 = t0 - rho0 / C.SPEED_OF_LIGHT + clk0
+        cp = (C.GLO_CHIP_RATE_HZ * t_tx0) % C.GLO_CODE_LEN
+        truths.append(SatTruth(
+            prn=g.freq_ch, range_m=rho0, doppler_hz=float(doppler),
+            code_phase_chips=float(cp),
+            pseudorange_m=float(rho0 - C.SPEED_OF_LIGHT * clk0)))
 
     if noise_std > 0.0:
         rng = np.random.default_rng(seed)

@@ -1,0 +1,59 @@
+"""RINEX 2 nav reader/writer + GPS time conversion tests."""
+import os
+
+import numpy as np
+import pytest
+
+from gps_jamming_tpu.models.receiver import lnav
+from gps_jamming_tpu.utils import gpstime, rinex
+
+REF_NAV = "/root/reference/data/sim_data/brdc2830.25n"
+
+
+def test_gps_time_roundtrip():
+    week, tow = gpstime.calendar_to_week_tow(2025, 10, 10, 0, 0, 0.0)
+    assert week == 2387 and tow == 432000.0      # known epoch of brdc2830
+    t = gpstime.week_tow_to_calendar(week, tow)
+    assert (t.year, t.month, t.day) == (2025, 10, 10)
+    assert gpstime.leap_seconds(t) == 18
+    assert gpstime.adjust_week_rollover(2387 % 1024, 2400) == 2387
+
+
+def test_write_read_roundtrip(tmp_path):
+    eph = lnav.Ephemeris(
+        prn=7, week=2387, toc=432000.0, toe=432000.0, iode=91, iodc=91,
+        af0=-5.44e-5, af1=8.75e-12, af2=0.0, tgd=-1.77e-8, ura=1, health=0,
+        sqrt_a=5153.65, e=0.0166, m0=0.7097, delta_n=4.73e-9,
+        omega0=-0.678, omega_dot=-8.66e-9, omega=-0.921, i0=0.9646,
+        idot=-4.0e-10, cuc=-4.28e-6, cus=1.92e-6, crc=346.3, crs=-71.5,
+        cic=1.19e-7, cis=-2.46e-7, have_subframes=(1, 2, 3))
+    path = str(tmp_path / "t.25n")
+    rinex.write_nav(path, [eph])
+    back = rinex.read_nav(path)
+    assert len(back) == 1
+    b = back[0]
+    for f in ("prn", "week", "iode", "iodc", "ura", "health"):
+        assert getattr(b, f) == getattr(eph, f), f
+    for f in ("toc", "toe", "af0", "af1", "sqrt_a", "e", "m0", "delta_n",
+              "omega0", "omega_dot", "omega", "i0", "idot", "cuc", "cus",
+              "crc", "crs", "cic", "cis", "tgd"):
+        assert np.isclose(getattr(b, f), getattr(eph, f),
+                          rtol=1e-11, atol=1e-30), f
+
+
+@pytest.mark.skipif(not os.path.exists(REF_NAV),
+                    reason="reference corpus not mounted")
+def test_parse_reference_brdc():
+    """The actual IGS broadcast file the reference ships feeds our Kepler
+    solver: sane orbits (|r| ~ 26,560 km) for every record."""
+    from gps_jamming_tpu.models.receiver import ephemeris as eph_mod
+    ephs = rinex.read_nav(REF_NAV)
+    assert len(ephs) >= 25
+    assert all(1 <= e.prn <= 32 for e in ephs)
+    assert all(e.week == 2387 for e in ephs[:5])
+    batch = eph_mod.stack_ephemeris(ephs[:8])
+    pos, clk = eph_mod.sat_pos_clock(batch,
+                                     np.full(8, ephs[0].toe + 60.0))
+    r = np.linalg.norm(pos, axis=-1)
+    assert np.all((r > 2.5e7) & (r < 2.8e7)), r
+    assert np.all(np.abs(clk) < 1e-2)
