@@ -10,7 +10,8 @@ workflow (app.py + worker.py) and its CLI twins (`checkIfJamming.py`,
     python -m gps_jamming_tpu simulate --kind chirp --out ant --seconds 1
     python -m gps_jamming_tpu spectrum capture.bin --out psd.csv
     python -m gps_jamming_tpu calibrate capture.bin
-    python -m gps_jamming_tpu receiver capture.bin
+    python -m gps_jamming_tpu receiver capture.bin [--system galileo]
+    python -m gps_jamming_tpu report a0.bin a1.bin a2.bin --out report/
 """
 from __future__ import annotations
 
@@ -177,6 +178,69 @@ def cmd_receiver(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Full analysis + visual report: PNG plots + standalone HTML map."""
+    import os
+
+    import jax.numpy as jnp
+
+    from .config import DEFAULT_CONFIG as CFG
+    from .models import detector
+    from .ops import iq, spectral
+    from .runtime import pipeline
+    from .utils import analysis, viz
+    positions = _parse_positions(args.positions, len(args.files))
+    res = pipeline.analyze_capture(
+        args.files, antenna_positions=positions,
+        run_receiver=not args.no_receiver, localize=True,
+        max_seconds=args.max_seconds, system=args.system)
+    os.makedirs(args.out, exist_ok=True)
+    fs = CFG.frontend.sample_rate_hz
+
+    x = jnp.asarray(iq.read_iq_file(args.files[0], convention="centered"))
+    chunk = min(int(fs), int(x.shape[-1]))
+    sg = np.asarray(spectral.spectrogram(x, fs, chunk,
+                                         CFG.spectral.nperseg))
+    viz.save_waterfall_png(sg, spectral.freq_axis_mhz(
+        fs, CFG.spectral.nperseg), chunk / fs,
+        os.path.join(args.out, "waterfall.png"))
+
+    prof = np.asarray(detector.power_profile(x, CFG.detector).power_map)
+    chunk_s = CFG.detector.power_chunk_samples / fs
+    ev_chunks = [(s // (2 * CFG.detector.power_chunk_samples),
+                  e // (2 * CFG.detector.power_chunk_samples))
+                 for s, e in res.power_ranges]
+    base = float(np.percentile(prof, CFG.detector.baseline_percentile))
+    viz.save_power_png(prof, chunk_s,
+                       base * 10 ** (CFG.detector.power_rise_db / 10.0),
+                       ev_chunks, os.path.join(args.out, "power.png"))
+
+    track = [(r["position"]["lat"], r["position"]["lon"])
+             for r in res.telemetry.records if r["position"]["nsat"] > 0]
+    series = analysis.per_prn_series(res.telemetry.records)
+    if series:
+        viz.save_prn_series_png(series,
+                                os.path.join(args.out, "prn_series.png"))
+    jam = None
+    if res.localization and res.localization.get("success"):
+        g = res.localization["location_geographic"]
+        jam = (g["lat"], g["lon"])
+    viz.save_map_report_html(
+        os.path.join(args.out, "report.html"), track_lla=track,
+        last_fix=((res.last_safe_fix["lat"], res.last_safe_fix["lon"])
+                  if res.last_safe_fix else None),
+        jammer_lla=jam, events=res.events,
+        localization=res.localization)
+    res.telemetry.save_jsonl(os.path.join(args.out, "telemetry.jsonl"))
+    print(json.dumps({
+        "out_dir": args.out,
+        "n_events": len(res.events),
+        "files": ["waterfall.png", "power.png", "report.html",
+                  "telemetry.jsonl"]
+        + (["prn_series.png"] if series else [])}))
+    return 0
+
+
 def _np_default(o):
     if isinstance(o, (np.integer,)):
         return int(o)
@@ -236,6 +300,16 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("calibrate", help="standalone threshold calibration")
     c.add_argument("file")
     c.set_defaults(fn=cmd_calibrate)
+
+    rp = sub.add_parser("report", help="analysis + PNG/HTML visual report")
+    rp.add_argument("files", nargs="+")
+    rp.add_argument("--out", default="report")
+    rp.add_argument("--positions")
+    rp.add_argument("--no-receiver", action="store_true")
+    rp.add_argument("--max-seconds", type=float)
+    rp.add_argument("--system", default="gps",
+                    choices=["gps", "glonass", "galileo"])
+    rp.set_defaults(fn=cmd_report)
 
     r = sub.add_parser("receiver", help="GNSS receiver chain -> PVT fix")
     r.add_argument("file")
