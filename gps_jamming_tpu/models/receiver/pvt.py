@@ -36,6 +36,8 @@ class PvtSolution(NamedTuple):
     elevation_deg: np.ndarray  # (n_sat,)
     nsat: int
     valid: bool
+    innovations_m: np.ndarray | None = None   # (n_sat,) EKF pre-fit
+    vel_ecef: np.ndarray | None = None        # (3,) EKF velocity estimate
 
 
 def lla_to_ecef(lat_deg, lon_deg, h_m) -> np.ndarray:
@@ -240,3 +242,128 @@ def precheck_mask(snr_dbhz, week, tow_s, pr_m, eph_complete, el_deg=None,
         el = np.asarray(el_deg, np.float64)
         ok = ok & np.where(np.isfinite(el), el >= el_min_deg, True)
     return ok
+
+
+class PvtEkf:
+    """8-state pseudorange EKF: position, velocity, clock bias, drift.
+
+    The reference RESERVES an EKF (the `FILTER|` telemetry field, the
+    `ekfFilterOn` flag sdrinit.c:117, and an `sdrekf_t` that carries only
+    measurement variances, sdr.h:381-384) but its branch is empty
+    (sdrpvt.c:85-88 falls through to blsFilter). This implements the
+    missing filter: constant-velocity + 2-state clock dynamics, the same
+    measurement model as solve_wls (Sagnac + Hopfield-style tropo +
+    elevation-dependent variances, sdrpvt.c:141-330), per-satellite
+    pre-fit innovations (the `innovation` telemetry column sdrout.c
+    always reported as 0), and coasting through short outages.
+    """
+
+    NSTATE = 8                 # [x y z vx vy vz b bdot], meters / m/s
+
+    def __init__(self, accel_psd: float = 1.0, clk_bias_psd: float = 4.0,
+                 clk_drift_psd: float = 0.5, use_tropo: bool = True,
+                 innovation_gate_m: float = 200.0,
+                 max_coast_s: float = 5.0):
+        self.accel_psd = accel_psd
+        self.clk_bias_psd = clk_bias_psd
+        self.clk_drift_psd = clk_drift_psd
+        self.use_tropo = use_tropo
+        self.innovation_gate_m = innovation_gate_m
+        self.max_coast_s = max_coast_s
+        self.x: np.ndarray | None = None
+        self.P: np.ndarray | None = None
+        self.coast_s = 0.0
+
+    @property
+    def initialized(self) -> bool:
+        return self.x is not None
+
+    def initialize(self, sol: PvtSolution) -> None:
+        """Seed from a WLS fix (position + clock; zero velocity/drift)."""
+        self.x = np.concatenate([sol.pos_ecef, np.zeros(3),
+                                 [sol.clock_bias_m, 0.0]])
+        self.P = np.diag([100.0 ** 2] * 3 + [10.0 ** 2] * 3
+                         + [1000.0 ** 2, 100.0 ** 2]).astype(np.float64)
+        self.coast_s = 0.0
+
+    def _predict(self, dt: float) -> None:
+        F = np.eye(self.NSTATE)
+        for i in range(3):
+            F[i, 3 + i] = dt
+        F[6, 7] = dt
+        q2 = self.accel_psd ** 2
+        Qpv = np.array([[dt ** 3 / 3.0, dt ** 2 / 2.0],
+                        [dt ** 2 / 2.0, dt]])
+        Q = np.zeros((self.NSTATE, self.NSTATE))
+        for i in range(3):
+            Q[np.ix_([i, 3 + i], [i, 3 + i])] += q2 * Qpv
+        Qc = np.array([[dt ** 3 / 3.0, dt ** 2 / 2.0],
+                       [dt ** 2 / 2.0, dt]]) * self.clk_drift_psd ** 2
+        Qc[0, 0] += self.clk_bias_psd ** 2 * dt
+        Q[np.ix_([6, 7], [6, 7])] += Qc
+        self.x = F @ self.x
+        self.P = F @ self.P @ F.T + Q
+
+    def step(self, sat_pos, pseudoranges, sat_clk_s, mask=None,
+             dt_s: float = 0.2) -> PvtSolution:
+        """Predict + measurement update; coasts (predict-only, valid while
+        coast time < max_coast_s) when fewer than 4 gated measurements
+        survive — the availability the reference's snapshot WLS lacks."""
+        assert self.initialized, "call initialize() with a WLS fix first"
+        sat_pos = np.asarray(sat_pos, np.float64)
+        n = sat_pos.shape[0]
+        mask = np.ones(n, bool) if mask is None else np.asarray(mask, bool)
+        pr = (np.asarray(pseudoranges, np.float64)
+              + C.SPEED_OF_LIGHT * np.asarray(sat_clk_s, np.float64))
+        self._predict(dt_s)
+
+        pos, bias = self.x[:3], self.x[6]
+        rho0 = np.linalg.norm(sat_pos - pos, axis=-1)
+        tau = (rho0 + bias) / C.SPEED_OF_LIGHT
+        sp = sagnac_rotate(sat_pos, tau)
+        d = sp - pos
+        rho = np.linalg.norm(d, axis=-1)
+        u = d / rho[:, None]
+        lat, lon, hgt = ecef_to_lla(pos)
+        e_, n_, up = topocentric(pos, d)
+        az = np.rad2deg(np.arctan2(e_, n_)) % 360.0
+        el = np.rad2deg(np.arctan2(up, np.hypot(e_, n_)))
+        trop = (tropo_goad_goodman(np.sin(np.deg2rad(el)), hgt)
+                if self.use_tropo else np.zeros(n))
+        innov = pr - (rho + bias + trop)
+        use = mask & (np.abs(innov) < self.innovation_gate_m)
+
+        nsat = int(use.sum())
+        gdop = float("inf")
+        if nsat >= 4:
+            H = np.zeros((nsat, self.NSTATE))
+            H[:, :3] = -u[use]
+            H[:, 6] = 1.0
+            Rv = np.diag(1.0 / elevation_weights(el[use]))
+            S = H @ self.P @ H.T + Rv
+            K = self.P @ H.T @ np.linalg.inv(S)
+            self.x = self.x + K @ innov[use]
+            ikh = np.eye(self.NSTATE) - K @ H
+            self.P = ikh @ self.P @ ikh.T + K @ Rv @ K.T   # Joseph form
+            self.coast_s = 0.0
+            try:
+                q = np.linalg.inv(H[:, [0, 1, 2, 6]].T @ H[:, [0, 1, 2, 6]])
+                gdop = float(np.sqrt(np.trace(q)))
+            except np.linalg.LinAlgError:
+                pass
+        else:
+            self.coast_s += dt_s
+
+        pos, bias = self.x[:3], self.x[6]
+        lat, lon, hgt = ecef_to_lla(pos)
+        d2 = sagnac_rotate(sat_pos, tau) - pos
+        rho2 = np.linalg.norm(d2, axis=-1)
+        residuals = (pr - rho2 - bias - trop) * use
+        valid = bool(np.all(np.isfinite(self.x))
+                     and (nsat >= 4 or self.coast_s <= self.max_coast_s))
+        return PvtSolution(
+            pos_ecef=pos.copy(), clock_bias_m=float(bias),
+            lat_deg=float(lat), lon_deg=float(lon), height_m=float(hgt),
+            gdop=gdop, residuals_m=residuals, azimuth_deg=az,
+            elevation_deg=el, nsat=nsat, valid=valid,
+            innovations_m=innov * mask, vel_ecef=self.x[3:6].copy())

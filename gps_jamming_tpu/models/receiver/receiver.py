@@ -56,6 +56,7 @@ class ReceiverResult:
     fix_epochs: list[int]        # milliseconds into the capture
     system: str = "gps"
     epoch_ms: float = 1.0
+    filter_name: str = "WLS"     # telemetry FILTER| field
 
     @property
     def best_fix(self) -> pvt.PvtSolution | None:
@@ -101,11 +102,15 @@ def run_receiver(x, sample_rate: float,
                  max_channels: int = 12,
                  pvt_interval_ms: int = 200,
                  skip_epochs: int | None = None,
-                 min_cn0_dbhz: float = 25.0) -> ReceiverResult:
+                 min_cn0_dbhz: float = 25.0,
+                 pvt_filter: str = "wls") -> ReceiverResult:
     """Run the complete chain over a capture.
 
     x: complex ndarray/jax array or CArray baseband at `sample_rate`.
     system: 'gps' | 'galileo' | 'glonass' (one per run, sdrmain.c:37-55).
+    pvt_filter: 'wls' (blsFilter parity) or 'ekf' — the 8-state
+    pseudorange EKF (pvt.PvtEkf) seeded by the first WLS fix, with
+    per-satellite innovations and outage coasting.
     Returns per-channel status + a PVT fix time series at the 200 ms
     cadence (outms, sdrinit.c:111); fix_epochs are in milliseconds.
     """
@@ -230,6 +235,7 @@ def run_receiver(x, sample_rate: float,
         if system != "glonass":
             batch = eph_mod.stack_ephemeris([ch.eph for ch in live])
         x0 = None
+        ekf = pvt.PvtEkf() if pvt_filter == "ekf" else None
         for m in range(skip_epochs + interval_ep, n_epochs, interval_ep):
             pr, t_tx = observables.form_pseudoranges(live, m)
             if system == "glonass":
@@ -245,15 +251,22 @@ def run_receiver(x, sample_rate: float,
             mask = pvt.precheck_mask(
                 snr_dbhz=snr, week=weeks, tow_s=t_tx, pr_m=pr,
                 eph_complete=[_eph_complete(system, ch.eph) for ch in live])
-            if mask.sum() < 4:
-                continue
-            sol = pvt.solve_wls(pos, pr, clk, mask=mask, x0=x0)
+            if ekf is not None and ekf.initialized:
+                sol = ekf.step(pos, pr, clk, mask=mask,
+                               dt_s=interval_ep * su["epoch_ms"] * 1e-3)
+            else:
+                if mask.sum() < 4:
+                    continue
+                sol = pvt.solve_wls(pos, pr, clk, mask=mask, x0=x0)
+                if ekf is not None and sol.valid:
+                    ekf.initialize(sol)
             fixes.append(sol)
             fix_epochs.append(int(round(m * su["epoch_ms"])))
             if sol.valid:
                 x0 = np.concatenate([sol.pos_ecef, [sol.clock_bias_m]])
     return ReceiverResult(channels, fixes, fix_epochs, system,
-                          su["epoch_ms"])
+                          su["epoch_ms"],
+                          "EKF" if pvt_filter == "ekf" else "WLS")
 
 
 def _eph_complete(system: str, eph) -> bool:

@@ -165,7 +165,7 @@ def analyze_capture(paths: Sequence[str],
                 time_s=float(frames.time_s[f]),
                 buffcnt=int(frames.buffcnt[f]),
                 acq_prns=acq_prns, tracked_prns=trk, decoded_prns=dec,
-                fix=fix, hold=is_hold)
+                fix=fix, hold=is_hold, filter_name=res.filter_name)
             log.append(rec)
             if fix is not None and f < jam_trace.size and not jam_trace[f]:
                 last_safe = {"lat": fix.lat_deg, "lon": fix.lon_deg,
