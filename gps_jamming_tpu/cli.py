@@ -178,6 +178,28 @@ def cmd_receiver(args) -> int:
     return 0
 
 
+def cmd_record(args) -> int:
+    """Live RTL-SDR capture (recording_dialog.py workflow, headless)."""
+    from .runtime import capture
+    cfg = capture.CaptureConfig(
+        system=args.system, seconds=args.seconds, gain_db=args.gain,
+        bias_tee=args.bias_tee, warmup_s=args.warmup)
+    paths = ([args.out] if args.antennas == 1 else
+             [f"{args.out}{i}.bin" for i in range(args.antennas)])
+    if args.dry_run:
+        cmds = [capture.build_commands(cfg, p, i)
+                for i, p in enumerate(paths)]
+        print(json.dumps({"tools": capture.tools_available(),
+                          "commands": cmds}, indent=2))
+        return 0
+    if args.antennas == 1:
+        res = [capture.record(cfg, paths[0])]
+    else:
+        res = capture.record_multi(cfg, paths)
+    print(json.dumps(res, indent=2))
+    return 0 if all(r.get("ok") for r in res) else 1
+
+
 def cmd_report(args) -> int:
     """Full analysis + visual report: PNG plots + standalone HTML map."""
     import os
@@ -300,6 +322,20 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("calibrate", help="standalone threshold calibration")
     c.add_argument("file")
     c.set_defaults(fn=cmd_calibrate)
+
+    rec = sub.add_parser("record", help="live RTL-SDR capture")
+    rec.add_argument("--out", default="capture.bin",
+                     help="file (1 antenna) or prefix (N antennas)")
+    rec.add_argument("--system", default="gps",
+                     choices=["gps", "glonass", "galileo"])
+    rec.add_argument("--seconds", type=float, default=60.0)
+    rec.add_argument("--gain", type=float, default=40.0)
+    rec.add_argument("--bias-tee", action="store_true")
+    rec.add_argument("--warmup", type=float, default=0.0)
+    rec.add_argument("--antennas", type=int, default=1)
+    rec.add_argument("--dry-run", action="store_true",
+                     help="print the rtl-sdr commands without running")
+    rec.set_defaults(fn=cmd_record)
 
     rp = sub.add_parser("report", help="analysis + PNG/HTML visual report")
     rp.add_argument("files", nargs="+")
