@@ -31,6 +31,7 @@ from . import cplx
 
 _BACKEND = "auto"
 _MAX_SINGLE = 2048           # largest single-stage DFT matrix (n x n f32)
+_PRECISION = "f32"           # matmul operand precision on the MXU path
 
 
 def set_backend(name: str) -> None:
@@ -44,6 +45,30 @@ def get_backend() -> str:
     if _BACKEND != "auto":
         return _BACKEND
     return "mxu" if jax.default_backend() in ("tpu", "axon") else "xla"
+
+
+def set_precision(name: str) -> None:
+    """MXU matmul operand precision: 'f32' (exact) or 'bf16'.
+
+    bf16 operands run at the MXU's native rate with float32 accumulation
+    (preferred_element_type) — the standard TPU mixed-precision recipe.
+    For detection/acquisition surfaces the ~3 decimal digits of operand
+    mantissa cost <0.1 dB of CAF peak fidelity while roughly doubling
+    DFT throughput; keep 'f32' when bit-level spectral accuracy matters.
+    """
+    global _PRECISION
+    if name not in ("f32", "bf16"):
+        raise ValueError(name)
+    _PRECISION = name
+
+
+def get_precision() -> str:
+    return _PRECISION
+
+
+def _cast_operand(x):
+    return x.astype(jnp.bfloat16) if _PRECISION == "bf16" \
+        else x.astype(jnp.float32)
 
 
 @functools.lru_cache(maxsize=32)
@@ -81,6 +106,8 @@ def _split_factor(n: int) -> tuple[int, int]:
 def _cmatmul(ar, ai, br, bi):
     """(ar + i ai) @ (br + i bi) via real MXU matmuls, f32 accumulate."""
     dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    ar, ai = _cast_operand(ar), _cast_operand(ai)
+    br, bi = _cast_operand(br), _cast_operand(bi)
     rr = dot(ar, br) - dot(ai, bi)
     ri = dot(ar, bi) + dot(ai, br)
     return rr, ri
@@ -103,10 +130,13 @@ def _dft_two_stage(xr, xi, n: int, inverse: bool):
     c1r, c1i = _dft_mats(n1, inverse)
     dot = functools.partial(jnp.einsum, precision=None,
                             preferred_element_type=jnp.float32)
-    yr = dot("kt,...tn->...kn", jnp.asarray(c1r), xr1) - \
-         dot("kt,...tn->...kn", jnp.asarray(c1i), xi1)
-    yi = dot("kt,...tn->...kn", jnp.asarray(c1r), xi1) + \
-         dot("kt,...tn->...kn", jnp.asarray(c1i), xr1)
+    xr1, xi1 = _cast_operand(xr1), _cast_operand(xi1)
+    c1r = _cast_operand(jnp.asarray(c1r))
+    c1i = _cast_operand(jnp.asarray(c1i))
+    yr = dot("kt,...tn->...kn", c1r, xr1) - \
+         dot("kt,...tn->...kn", c1i, xi1)
+    yi = dot("kt,...tn->...kn", c1r, xi1) + \
+         dot("kt,...tn->...kn", c1i, xr1)
     # twiddle W_n^{k1 t2}
     tr, ti = _twiddle(n1, n2, inverse)
     tr = jnp.asarray(tr)
@@ -115,10 +145,13 @@ def _dft_two_stage(xr, xi, n: int, inverse: bool):
     zi = yr * ti + yi * tr
     # stage 2: DFT over t2 -> Z[k1, k2]
     c2r, c2i = _dft_mats(n2, inverse)
-    wr = dot("...kt,tm->...km", zr, jnp.asarray(c2r)) - \
-         dot("...kt,tm->...km", zi, jnp.asarray(c2i))
-    wi = dot("...kt,tm->...km", zr, jnp.asarray(c2i)) + \
-         dot("...kt,tm->...km", zi, jnp.asarray(c2r))
+    zr, zi = _cast_operand(zr), _cast_operand(zi)
+    c2r = _cast_operand(jnp.asarray(c2r))
+    c2i = _cast_operand(jnp.asarray(c2i))
+    wr = dot("...kt,tm->...km", zr, c2r) - \
+         dot("...kt,tm->...km", zi, c2i)
+    wi = dot("...kt,tm->...km", zr, c2i) + \
+         dot("...kt,tm->...km", zi, c2r)
     # X[k1 + n1*k2] = Z[k1, k2] -> transpose (k2, k1) then flatten
     wr = jnp.swapaxes(wr, -1, -2).reshape(batch + (n,))
     wi = jnp.swapaxes(wi, -1, -2).reshape(batch + (n,))

@@ -84,3 +84,22 @@ def test_ops_parity_on_mxu_backend(rng):
     b = np.roll(a, -true_lag)
     lag, _ = corr.xcorr_peak_lag(jnp.asarray(a), jnp.asarray(b), subsample=False)
     assert int(lag) == true_lag
+
+
+def test_bf16_precision_mode(rng):
+    """bf16 operand mode: same spectral peaks, bounded relative error."""
+    from gps_jamming_tpu.ops import fftcore
+    x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024)) \
+        .astype(np.complex64)
+    x += np.exp(2j * np.pi * 0.123 * np.arange(1024)).astype(np.complex64) * 4
+    fftcore.set_backend("mxu")
+    try:
+        ref = np.asarray(fftcore.fft(jnp.asarray(x)))
+        fftcore.set_precision("bf16")
+        lo = np.asarray(fftcore.fft(jnp.asarray(x)))
+    finally:
+        fftcore.set_precision("f32")
+        fftcore.set_backend("auto")
+    assert np.argmax(np.abs(ref)) == np.argmax(np.abs(lo))
+    rel = np.abs(lo - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2, rel
