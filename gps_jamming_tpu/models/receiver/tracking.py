@@ -216,6 +216,12 @@ def make_tracker(code_table: np.ndarray, sample_rate: float,
     Returns (step, run) where
       step(state, x_window: CArray (n,)) -> (state', TrackOutputs-per-epoch)
       run(state, x: CArray (n_epochs*n,)) -> (state', TrackOutputs stacked)
+
+    `run` additionally accepts (table_arg, carrier_arg, offset_arg) as
+    TRACED overrides of the build-time constants (which then only fix
+    shapes) — one compiled executable serves any channel-to-slot
+    assignment, the property the streaming receiver's re-acquisition /
+    health-reset cycle needs (sdrmain.c:248-400 resetStructs role).
     """
     dt = epoch_ms * 1e-3
     n_epoch = int(round(sample_rate * dt))
@@ -255,11 +261,11 @@ def make_tracker(code_table: np.ndarray, sample_rate: float,
     pullin_epochs = int(cfg.pullin_ms / epoch_ms)
     ema = 1.0 / max(cfg.snr_smooth_ms / epoch_ms, 1.0)
 
-    def step(state: TrackState, inputs):
+    def step_with(state: TrackState, inputs, tab, carr, offs_hz):
         x, epoch_idx = inputs
         fll_stage = epoch_idx < fll_epochs
         locked = epoch_idx >= pullin_epochs
-        corr_i, corr_q = _tap_correlate(x, table, state, n_taps,
+        corr_i, corr_q = _tap_correlate(x, tab, state, n_taps,
                                         cfg.tap_spacing_samples, sample_rate,
                                         code_len)
         perr, ferr, derr, ip, qp = _discriminators(corr_i, corr_q, state,
@@ -278,7 +284,7 @@ def make_tracker(code_table: np.ndarray, sample_rate: float,
         # DLL correction (SoftGNSS codeNco form)
         code_nco = (state.code_nco_hz
                     + c1d * (derr - state.derr_prev) + c2d * derr)
-        code_freq = chip_rate * (1.0 + (carr_freq - offset_v) / carrier_v) \
+        code_freq = chip_rate * (1.0 + (carr_freq - offs_hz) / carr) \
             - code_nco
 
         # advance NCO phases over the epoch
@@ -311,8 +317,12 @@ def make_tracker(code_table: np.ndarray, sample_rate: float,
             perr=perr, derr=derr)
         return new, out
 
+    def step(state: TrackState, inputs):
+        return step_with(state, inputs, table, carrier_v, offset_v)
+
     def run(state: TrackState, x: cplx.CArray, start_epoch: int = 0,
-            start_offsets=None):
+            start_offsets=None, table_arg=None, carrier_arg=None,
+            offset_arg=None, n_epochs: int | None = None):
         """Scan the tracker over a capture.
 
         start_offsets: optional (n_ch,) int per-channel window start
@@ -325,18 +335,30 @@ def make_tracker(code_table: np.ndarray, sample_rate: float,
         symbol per 4 ms code period — a mid-window flip cancels the
         prompt; the reference gets alignment for free from its
         variable-length per-channel grabs, sdrtrk.c:16-18).
+
+        table_arg/carrier_arg/offset_arg (dynamic_channels mode): traced
+        overrides of the build-time constants; start_epoch and
+        start_offsets may then also be traced.
         """
+        tab = table if table_arg is None else table_arg
+        carr = carrier_v if carrier_arg is None else carrier_arg
+        offs_hz = offset_v if offset_arg is None else offset_arg
+
+        def stp(st, inp):
+            return step_with(st, inp, tab, carr, offs_hz)
+
         if start_offsets is None:
-            n_epochs = x.shape[-1] // n_epoch
+            n_ep = x.shape[-1] // n_epoch if n_epochs is None else n_epochs
             windows = cplx.apply(
-                lambda a: a[..., : n_epochs * n_epoch]
-                .reshape(n_epochs, n_epoch), x)
-            idx = jnp.arange(n_epochs) + start_epoch
-            return jax.lax.scan(step, state, (windows, idx))
+                lambda a: a[..., : n_ep * n_epoch]
+                .reshape(n_ep, n_epoch), x)
+            idx = jnp.arange(n_ep) + start_epoch
+            return jax.lax.scan(stp, state, (windows, idx))
 
         offs = jnp.asarray(start_offsets, jnp.int32)
-        n_epochs = int((x.shape[-1] - int(np.max(start_offsets)))
-                       // n_epoch)
+        if n_epochs is None:
+            n_epochs = int((x.shape[-1] - int(np.max(start_offsets)))
+                           // n_epoch)
 
         def gather_step(st, k):
             starts = offs + k * n_epoch
@@ -344,7 +366,7 @@ def make_tracker(code_table: np.ndarray, sample_rate: float,
                 lambda a: jax.vmap(
                     lambda s: jax.lax.dynamic_slice(a, (s,), (n_epoch,))
                 )(starts), x)
-            return step(st, (win, k + start_epoch))
+            return stp(st, (win, k + start_epoch))
 
         return jax.lax.scan(gather_step, state, jnp.arange(n_epochs))
 

@@ -1,0 +1,373 @@
+"""Streaming receiver: segmented tracking with health resets + re-acquisition.
+
+The reference receiver is self-healing: channels reset themselves when
+SNR drops below 15 dB-Hz, nav fails to decode, or observations go stale
+(sdrmain.c:263-340 health checks, resetStructs :417-462, checkObsDelay
+:464-511), and freed channels re-run acquisition. The batch
+run_receiver acquires once and tracks to EOF — fine for short captures,
+wrong for long ones where jamming kills lock mid-capture.
+
+This driver processes the capture in fixed-length segments over a pool
+of channel SLOTS:
+  - per segment, one tracking scan advances every slot (one compiled
+    executable for all segments: the code table / carrier / FDMA offset /
+    window offsets / per-slot ages are traced arguments),
+  - slots whose median C/N0 over the segment falls below the reset
+    threshold are freed (the SNR health check),
+  - free slots are filled by re-running batched acquisition on the
+    segment head for constellation IDs not currently tracked,
+  - per-slot output streams are split at assignment boundaries, decoded
+    with the per-system adapters, and PVT runs over whichever channels
+    cover each measurement epoch.
+
+Tracking loop staging (FLL pull-in -> PLL locked) is per-slot: a slot
+(re)acquired mid-capture starts its own pull-in, exactly like a
+reference channel thread after resetStructs.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AcquisitionConfig, TrackingConfig
+from ..models.receiver import acquisition as acq_mod
+from ..models.receiver import ephemeris as eph_mod
+from ..models.receiver import galileo as gal
+from ..models.receiver import glonass as glo
+from ..models.receiver import observables, pvt, systems, tracking
+from ..models.receiver.receiver import (ChannelResult, ReceiverResult,
+                                        _eph_complete, _system_setup)
+from ..ops import codes as codes_ops
+from ..ops import cplx
+
+
+@dataclasses.dataclass
+class SlotInterval:
+    """One contiguous assignment of a constellation ID to a slot."""
+    sat_id: int                 # PRN (GPS/GAL) or FDMA freq_ch (GLO)
+    slot: int
+    start_epoch: int            # global epoch of first tracked epoch
+    n_epochs: int = 0
+    sample_offset: float = 0.0  # absolute window start of start_epoch
+    i_prompt: np.ndarray | None = None
+    code_rem: np.ndarray | None = None
+    carr_freq: np.ndarray | None = None
+    cn0: np.ndarray | None = None
+    obs: observables.ChannelObservables | None = None
+
+
+def _system_tables(system: str, sel_ids):
+    if system == "gps":
+        tab = np.stack([codes_ops.gps_ca_code(i) for i in sel_ids])
+        return tab.astype(np.float32), None, None
+    if system == "galileo":
+        tab = np.stack([gal.e1b_boc_code(i) for i in sel_ids])
+        return tab.astype(np.float32), None, None
+    tab = np.tile(codes_ops.glonass_code()[None, :], (len(sel_ids), 1))
+    carr = np.array([codes_ops.glonass_carrier_hz(i) for i in sel_ids],
+                    np.float32)
+    offs = np.asarray(glo.channel_offsets_hz(channels=list(sel_ids)),
+                      np.float32)
+    return tab.astype(np.float32), carr, offs
+
+
+class StreamingReceiver:
+    def __init__(self, sample_rate: float, system: str = "gps",
+                 n_slots: int = 12, segment_s: float = 4.0,
+                 acq_cfg: AcquisitionConfig | None = None,
+                 trk_cfg: TrackingConfig | None = None,
+                 reset_cn0_dbhz: float = 15.0,
+                 min_cn0_dbhz: float = 25.0,
+                 grace_segments: int = 1):
+        self.fs = sample_rate
+        self.system = system
+        self.acq_cfg = acq_cfg or AcquisitionConfig()
+        self.trk_cfg = trk_cfg or TrackingConfig()
+        self.su = _system_setup(system, sample_rate, self.acq_cfg)
+        self.n_slots = n_slots
+        self.reset_cn0 = reset_cn0_dbhz
+        self.min_cn0 = min_cn0_dbhz
+        self.grace = grace_segments
+        n_epoch = int(round(sample_rate * self.su["epoch_ms"] * 1e-3))
+        self.seg_epochs = max(int(segment_s * 1000.0
+                                  / self.su["epoch_ms"]), 1)
+        dummy = np.zeros((n_slots, self.su["code_len"]), np.float32)
+        _, self._run, self.n_epoch = tracking.make_tracker(
+            dummy, sample_rate, self.trk_cfg, code_len=self.su["code_len"],
+            chip_rate=self.su["chip_rate"],
+            carrier_hz=np.zeros(n_slots, np.float32) + 1575.42e6,
+            epoch_ms=self.su["epoch_ms"],
+            nominal_offset_hz=np.zeros(n_slots, np.float32))
+        # per-slot loop staging: epoch index seen by the FLL/PLL stage
+        # switch is the slot's AGE (epochs since its own acquisition) —
+        # k runs 0..seg_epochs within a segment, so start_epoch = age
+        self._jit_run = jax.jit(
+            lambda st, x, offs, ages, tab, carr, offhz: self._run(
+                st, x, start_epoch=ages, start_offsets=offs,
+                table_arg=tab, carrier_arg=carr, offset_arg=offhz,
+                n_epochs=self.seg_epochs))
+
+    # -- acquisition over a segment head ---------------------------------
+    def _acquire(self, xp, seg_start: int):
+        su, cfg = self.su, self.acq_cfg
+        n_code = su["n_code"]
+        blocks = cplx.apply(
+            lambda a: jax.lax.dynamic_slice(
+                a, (seg_start,), (cfg.n_integration * n_code,)
+            ).reshape(cfg.n_integration, n_code), xp)
+        if self.system == "glonass":
+            res = glo.acquire_all(blocks, self.fs, cfg)
+        else:
+            res = acq_mod.acquire_all(
+                blocks, su["replica"], self.fs, cfg,
+                code_period_s=su["code_period_s"],
+                code_len_chips=su["code_len_chips"])
+        return res
+
+    def process(self, x, verbose: bool = False) -> ReceiverResult:
+        log = print if verbose else (lambda *a: None)
+        xp = cplx.asarray(x)
+        n = xp.shape[-1]
+        su = self.su
+        n_seg = (n - su["n_code"]) // (self.seg_epochs * self.n_epoch)
+        ids = su["ids"]
+
+        # slot bookkeeping (host)
+        slot_sat = np.zeros(self.n_slots, np.int64)        # 0 = free
+        slot_next = np.zeros(self.n_slots, np.int64)       # next win start
+        slot_birth = np.zeros(self.n_slots, np.int64)      # global epoch
+        slot_bad = np.zeros(self.n_slots, np.int64)        # bad segments
+        st = tracking.init_state(
+            self.n_slots, np.zeros(self.n_slots, np.float32),
+            np.zeros(self.n_slots, np.float32), self.fs,
+            code_len=su["code_len"], chip_rate=su["chip_rate"])
+        tab = np.zeros((self.n_slots, su["code_len"]), np.float32)
+        carr = np.full(self.n_slots, 1575.42e6, np.float32)
+        offhz = np.zeros(self.n_slots, np.float32)
+
+        intervals: list[SlotInterval] = []
+        open_iv: dict[int, SlotInterval] = {}
+        acq_seen: dict[int, ChannelResult] = {}
+
+        def close(slot, trim_epochs: int = 0):
+            iv = open_iv.pop(slot, None)
+            if iv is None:
+                return
+            if trim_epochs and iv.n_epochs > trim_epochs:
+                # drop the unhealthy tail (the segments that triggered the
+                # reset) so jam-corrupted epochs don't poison bit sync
+                keep = iv.n_epochs - trim_epochs
+                for name in ("i_prompt", "code_rem", "carr_freq", "cn0"):
+                    arr = getattr(iv, name)
+                    if arr is not None:
+                        setattr(iv, name, arr[:keep])
+                iv.n_epochs = keep
+            intervals.append(iv)
+
+        for seg in range(n_seg):
+            seg_ep = seg * self.seg_epochs
+            seg_start = seg_ep * self.n_epoch
+
+            # ---- fill free slots from a fresh acquisition ---------------
+            free = [s for s in range(self.n_slots) if slot_sat[s] == 0]
+            if free:
+                res = self._acquire(xp, seg_start)
+                acq = np.asarray(res.acquired)
+                ratios = np.asarray(res.peak_ratio)
+                dopp = np.asarray(res.doppler_hz)
+                lags = np.asarray(res.code_phase)
+                cn0s = np.asarray(res.cn0_dbhz)
+                active = set(int(v) for v in slot_sat if v != 0)
+                cands = [i for i in np.argsort(-ratios)
+                         if acq[i] and ids[i] not in active]
+                new_idx = cands[: len(free)]
+                if new_idx:
+                    t2, c2, o2 = _system_tables(
+                        self.system, [ids[i] for i in new_idx])
+                    eff = dopp[new_idx].astype(np.float32)
+                    if o2 is not None:
+                        eff = eff + o2
+                    abs_lag = (lags[new_idx] + seg_start).astype(np.int32)
+                    fine = np.asarray(acq_mod.refine_doppler(
+                        xp, t2, abs_lag, eff, self.fs, su["chip_rate"],
+                        carrier_hz=c2 if c2 is not None else 1575.42e6,
+                        nominal_offset_hz=o2 if o2 is not None else 0.0))
+                    init2 = tracking.init_state(
+                        len(new_idx),
+                        fine - (o2 if o2 is not None else 0.0),
+                        np.zeros(len(new_idx), np.float32), self.fs,
+                        code_len=su["code_len"], chip_rate=su["chip_rate"],
+                        carrier_hz=c2 if c2 is not None else 1575.42e6,
+                        nominal_offset_hz=o2 if o2 is not None else 0.0)
+                    st_h = jax.tree_util.tree_map(
+                        lambda a: np.array(a), st)
+                    for j, (i, s) in enumerate(zip(new_idx, free)):
+                        sat = ids[i]
+                        slot_sat[s] = sat
+                        slot_next[s] = int(abs_lag[j])
+                        slot_birth[s] = seg_ep
+                        slot_bad[s] = 0
+                        tab[s] = t2[j]
+                        if c2 is not None:
+                            carr[s] = c2[j]
+                            offhz[s] = o2[j]
+                        else:
+                            carr[s] = 1575.42e6
+                            offhz[s] = 0.0
+                        for f in st_h._fields:
+                            getattr(st_h, f)[s] = \
+                                getattr(init2, f)[j]
+                        open_iv[s] = SlotInterval(
+                            sat_id=sat, slot=s, start_epoch=seg_ep,
+                            sample_offset=float(abs_lag[j]))
+                        if sat not in acq_seen:
+                            acq_seen[sat] = ChannelResult(
+                                prn=sat, acquired=True,
+                                doppler_hz=float(fine[j]),
+                                code_phase_samples=float(lags[new_idx][j]),
+                                peak_ratio=float(ratios[i]),
+                                cn0_dbhz=float(cn0s[i]))
+                    st = jax.tree_util.tree_map(jnp.asarray, st_h)
+
+            # ---- one tracking scan over the segment ---------------------
+            ages = (seg_ep - slot_birth).astype(np.int32)
+            st, outs = self._jit_run(
+                st, xp, slot_next.astype(np.int32), jnp.asarray(ages),
+                jnp.asarray(tab), jnp.asarray(carr), jnp.asarray(offhz))
+            ip = np.asarray(outs.i_prompt)
+            rem = np.asarray(outs.code_rem_chips)
+            cf = np.asarray(outs.carr_freq_hz)
+            cn0 = np.asarray(outs.cn0_dbhz)
+            slot_next += self.seg_epochs * self.n_epoch
+
+            # ---- append outputs + health check --------------------------
+            for s in list(open_iv):
+                iv = open_iv[s]
+                for name, arr in (("i_prompt", ip), ("code_rem", rem),
+                                  ("carr_freq", cf), ("cn0", cn0)):
+                    prev = getattr(iv, name)
+                    seg_arr = arr[:, s]
+                    setattr(iv, name,
+                            seg_arr if prev is None
+                            else np.concatenate([prev, seg_arr]))
+                iv.n_epochs += self.seg_epochs
+                # whole-segment median: under strong jamming the C/N0
+                # estimator oscillates epoch-to-epoch between deep nulls
+                # and spurious mid-teens values, so a short tail window
+                # flips healthy/unhealthy and never sustains a reset
+                med = float(np.median(cn0[:, s]))
+                aged = seg_ep - slot_birth[s] >= self.seg_epochs
+                if not med >= self.reset_cn0 and aged:
+                    slot_bad[s] += 1
+                else:
+                    slot_bad[s] = 0
+                if slot_bad[s] > self.grace:
+                    # health reset (resetStructs role): free the slot
+                    log(f"[seg {seg}] reset slot {s} "
+                        f"(sat {slot_sat[s]}, med cn0 {med:.1f})")
+                    slot_sat[s] = 0
+                    close(s, trim_epochs=int(slot_bad[s])
+                          * self.seg_epochs)
+            log(f"[seg {seg}] slots: "
+                + ",".join(str(v) for v in slot_sat)
+                + " cn0tail: "
+                + ",".join(
+                    f"{float(np.median(cn0[-200:, s])):.0f}"
+                    for s in range(self.n_slots))
+                + " bad: " + ",".join(str(v) for v in slot_bad))
+        for s in list(open_iv):
+            close(s)
+        self.last_intervals = intervals
+
+        # ---- decode each interval ----------------------------------------
+        skip = max(int(round(1000.0 / su["epoch_ms"])), 1)
+        channels: dict[int, ChannelResult] = {
+            sat: res for sat, res in acq_seen.items()}
+        live: list[observables.ChannelObservables] = []
+        live_start: list[int] = []
+        eph_cache: dict[int, object] = {}
+        intervals.sort(key=lambda iv: iv.start_epoch)
+        for iv in intervals:
+            if iv.n_epochs <= skip + 1:
+                continue
+            if float(np.median(iv.cn0[-200:])) < self.min_cn0:
+                continue
+            args = dict(i_prompt=iv.i_prompt, code_rem=iv.code_rem,
+                        carr_freq=iv.carr_freq, cn0=iv.cn0,
+                        skip_epochs=skip,
+                        sample_offset=iv.sample_offset
+                        - iv.start_epoch * self.n_epoch,
+                        epoch_samples=self.n_epoch)
+            if self.system == "gps":
+                obs = observables.build_channel_observables(
+                    prn=iv.sat_id, **args)
+            elif self.system == "galileo":
+                obs = systems.build_galileo_observables(
+                    prn=iv.sat_id, **args)
+            else:
+                obs = systems.build_glonass_observables(
+                    freq_ch=iv.sat_id, **args)
+            log(f"interval sat {iv.sat_id} slot {iv.slot} "
+                f"start_ep {iv.start_epoch} n {iv.n_epochs} "
+                f"obs {'OK' if obs is not None else 'None'} "
+                f"cn0med {float(np.median(iv.cn0[-200:])):.1f}")
+            if obs is None:
+                continue
+            # ephemeris persists across channel resets (the reference
+            # keeps sdreph_t across resetStructs): a short post-reset
+            # interval re-anchors timing from one subframe/page/string
+            # and reuses the cached broadcast ephemeris.
+            if _eph_complete(self.system, obs.eph):
+                eph_cache[iv.sat_id] = obs.eph
+            elif iv.sat_id in eph_cache:
+                obs.eph = eph_cache[iv.sat_id]
+            if channels.get(iv.sat_id) is not None \
+                    and channels[iv.sat_id].obs is None:
+                channels[iv.sat_id].obs = obs
+            if _eph_complete(self.system, obs.eph):
+                live.append(obs)
+                live_start.append(iv.start_epoch)
+
+        # ---- PVT over whichever channels cover each epoch ---------------
+        fixes: list[pvt.PvtSolution] = []
+        fix_epochs: list[int] = []
+        interval_ep = max(int(round(200.0 / su["epoch_ms"])), 1)
+        total_epochs = n_seg * self.seg_epochs
+        for m in range(interval_ep, total_epochs, interval_ep):
+            idx = [k for k, (ch, st0) in enumerate(zip(live, live_start))
+                   if st0 + skip < m < st0 + ch.chips.size]
+            if len(idx) < 4:
+                continue
+            chs = [live[k] for k in idx]
+            local = [m - live_start[k] for k in idx]
+            t_tx = np.array([ch.transmit_time_common(lm)
+                             for ch, lm in zip(chs, local)])
+            t_rx = t_tx.min() + observables.PTIMING_S
+            pr = 299_792_458.0 * (t_rx - t_tx)
+            if self.system == "glonass":
+                pos, clk = systems.glonass_sat_pos_clock(
+                    [ch.eph for ch in chs], t_tx)
+                weeks = np.full(len(chs), 2400)
+            else:
+                batch = eph_mod.stack_ephemeris([ch.eph for ch in chs])
+                pos, clk = eph_mod.sat_pos_clock(batch, t_tx)
+                wk_adj = 2048 if self.system == "gps" else 1024
+                weeks = np.array([ch.eph.week for ch in chs]) + wk_adj
+            snr = np.array([ch.cn0_dbhz[lm]
+                            for ch, lm in zip(chs, local)])
+            mask = pvt.precheck_mask(
+                snr_dbhz=snr, week=weeks, tow_s=t_tx, pr_m=pr,
+                eph_complete=[_eph_complete(self.system, ch.eph)
+                              for ch in chs])
+            if mask.sum() < 4:
+                continue
+            sol = pvt.solve_wls(pos, pr, clk, mask=mask)
+            fixes.append(sol)
+            fix_epochs.append(int(round(m * su["epoch_ms"])))
+
+        chan_list = list(channels.values())
+        return ReceiverResult(chan_list, fixes, fix_epochs, self.system,
+                              su["epoch_ms"])

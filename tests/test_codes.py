@@ -73,3 +73,39 @@ def test_replica_fft_conj_shape():
     rep = codes.sampled_code_fft_conj(tbl, 1.023e6, 2.048e6, 2048)
     assert rep.shape == (32, 2048)
     assert rep.dtype == jnp.complex64
+
+
+def test_legendre_properties():
+    L = codes.legendre_10223()
+    assert L.size == 10223 and L[0] == 0
+    # exactly (p-1)/2 quadratic residues
+    assert int(L.sum()) == (10223 - 1) // 2
+    # multiplicativity spot check: QR*QR=QR, QR*NQR=NQR
+    qr = np.where(L == 1)[0][1:50]
+    nqr = np.where(L == 0)[0][1:50]
+    assert L[(qr[0] * qr[1]) % 10223] == 1
+    assert L[(qr[0] * nqr[1]) % 10223] == 0
+
+
+def test_l1c_weil_codes():
+    for gen in (codes.gps_l1cp_code, codes.gps_l1cd_code):
+        c1 = gen(1)
+        c2 = gen(2)
+        assert c1.size == 10230
+        assert set(np.unique(c1)) <= {-1, 1}
+        # near-balanced, distinct PRNs nearly orthogonal
+        assert abs(int(c1.sum())) < 300
+        assert abs(int((c1 * c2).sum())) < 600
+        # sharp autocorrelation: off-peak < 10% of peak
+        f = np.fft.fft(c1)
+        ac = np.real(np.fft.ifft(f * np.conj(f)))
+        assert np.isclose(ac[0], 10230)
+        assert np.abs(ac[1:]).max() < 1023
+    # pilot and data codes of the same PRN differ
+    assert not np.array_equal(codes.gps_l1cp_code(3), codes.gps_l1cd_code(3))
+
+
+def test_nh_overlays():
+    assert np.array_equal(codes.nh10()[:4], [1, 1, 1, 1])
+    assert codes.nh10().size == 10 and codes.nh20().size == 20
+    assert int(codes.nh20().sum()) == 20 - 2 * 8   # eight 1-bits
