@@ -156,8 +156,19 @@ def cmd_receiver(args) -> int:
     x = iq.read_iq_file(args.file, convention="centered",
                         count=(int(args.max_seconds * args.sample_rate) * 2
                                if args.max_seconds else -1))
-    res = rx_mod.run_receiver(x.astype(np.complex64), args.sample_rate,
-                              system=args.system)
+    if args.streaming and args.system == "sbas":
+        print("--streaming supports gps/galileo/glonass (SBAS is a "
+              "message channel, no PVT to stream)", file=sys.stderr)
+        return 2
+    if args.streaming:
+        from .runtime import rx_stream
+        srx = rx_stream.StreamingReceiver(
+            args.sample_rate, system=args.system,
+            segment_s=args.segment_seconds)
+        res = srx.process(x.astype(np.complex64))
+    else:
+        res = rx_mod.run_receiver(x.astype(np.complex64), args.sample_rate,
+                                  system=args.system)
     fix = res.best_fix
     out = {
         "acquired": [
@@ -168,6 +179,9 @@ def cmd_receiver(args) -> int:
         "decoded_prns": [c.prn for c in res.channels
                          if c.obs is not None
                          and rx_mod._eph_complete(args.system, c.obs.eph)],
+        "messages": [
+            {"prn": c.prn, "mt": m.mt, "tow_s": m.tow_s, "week": m.week}
+            for c in res.channels for m in (c.messages or [])],
         "n_fixes": len([f for f in res.fixes if f.valid]),
         "fix": None if fix is None else {
             "lat": fix.lat_deg, "lon": fix.lon_deg, "hgt": fix.height_m,
@@ -352,8 +366,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--sample-rate", type=float, default=2.048e6)
     r.add_argument("--max-seconds", type=float)
     r.add_argument("--system", default="gps",
-                   choices=["gps", "glonass", "galileo"],
-                   help="constellation (the reference's -g/-l/-a modes)")
+                   choices=["gps", "glonass", "galileo", "sbas"],
+                   help="constellation (the reference's -g/-l/-a modes; "
+                        "sbas = PRN 120..138 message channel)")
+    r.add_argument("--streaming", action="store_true",
+                   help="segmented receiver with channel health resets + "
+                        "re-acquisition (long / jam-interrupted captures)")
+    r.add_argument("--segment-seconds", type=float, default=4.0)
     r.set_defaults(fn=cmd_receiver)
     return p
 

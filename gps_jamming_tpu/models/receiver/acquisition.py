@@ -52,6 +52,15 @@ def gps_replica_table_host(sample_rate: float, n_samples: int):
     return cplx.CArray(re, im)
 
 
+def sbas_replica_table_host(sample_rate: float, n_samples: int):
+    """Planar replica table for the 19 SBAS C/A PRNs (120..138)."""
+    from ...ops import cplx
+    re, im = codes_ops.sampled_code_fft_conj_host(
+        codes_ops.sbas_ca_table(), C.GPS_CA_CHIP_RATE_HZ, sample_rate,
+        n_samples)
+    return cplx.CArray(re, im)
+
+
 def acquire_all(blocks, replica_fft_conj,
                 sample_rate: float, cfg: AcquisitionConfig,
                 code_period_s: float = C.GPS_CA_PERIOD_S,

@@ -47,6 +47,7 @@ class ChannelResult:
     peak_ratio: float
     cn0_dbhz: float
     obs: observables.ChannelObservables | None = None
+    messages: list | None = None     # SBAS: decoded SbasMessage records
 
 
 @dataclasses.dataclass
@@ -92,6 +93,16 @@ def _system_setup(system: str, sample_rate: float,
             n_code=n_code, epoch_ms=1.0,
             code_len=C.GLO_CODE_LEN, chip_rate=C.GLO_CHIP_RATE_HZ,
             code_period_s=1e-3, code_len_chips=float(C.GLO_CODE_LEN))
+    if system == "sbas":
+        # SBAS L1: C/A-family codes PRN 120..138, same 1 ms period as GPS
+        # (sdrnav_sbs.c channel; symbols at 500 sps = 2 code periods)
+        n_code = int(round(sample_rate * C.GPS_CA_PERIOD_S))
+        return dict(
+            ids=sorted(codes_ops._SBAS_G2_DELAY),
+            replica=acq_mod.sbas_replica_table_host(sample_rate, n_code),
+            n_code=n_code, epoch_ms=1.0,
+            code_len=C.GPS_CA_CODE_LEN, chip_rate=C.GPS_CA_CHIP_RATE_HZ,
+            code_period_s=C.GPS_CA_PERIOD_S, code_len_chips=1023.0)
     raise ValueError(f"unknown system {system!r}")
 
 
@@ -154,6 +165,10 @@ def run_receiver(x, sample_rate: float,
         table = np.stack([codes_ops.gps_ca_code(ids[i]) for i in sel])
         carrier_v: np.ndarray | float = C.GPS_L1_FREQ_HZ
         offset_v: np.ndarray | float = 0.0
+    elif system == "sbas":
+        table = np.stack([codes_ops.sbas_ca_code(ids[i]) for i in sel])
+        carrier_v = C.GPS_L1_FREQ_HZ
+        offset_v = 0.0
     elif system == "galileo":
         table = np.stack([gal.e1b_boc_code(ids[i]) for i in sel]) \
             .astype(np.float32)
@@ -208,6 +223,10 @@ def run_receiver(x, sample_rate: float,
         if np.median(cn0[-200:, c]) < min_cn0_dbhz:
             continue
         off = float(offsets[c])
+        if system == "sbas":
+            channels[i].messages = systems.decode_sbas_channel(
+                ip[:, c], skip_epochs=skip_epochs)
+            continue
         if system == "gps":
             obs = observables.build_channel_observables(
                 prn=ids[i], i_prompt=ip[:, c], code_rem=rem[:, c],

@@ -115,3 +115,40 @@ def glonass_sat_pos_clock(gephs: list[glo.GloEphemeris], t_tx: np.ndarray
         pos[i] = st[:3]
         clk[i] = -g.tau_s + g.gamma * (t - g.tb_s)
     return pos, clk
+
+
+# ---------------------------------------------------------------------------
+# SBAS
+# ---------------------------------------------------------------------------
+
+def decode_sbas_channel(i_prompt: np.ndarray, skip_epochs: int = 1000,
+                        min_sync_quality: float = 0.5) -> list:
+    """One SBAS L1 channel: prompt I -> 500 sps symbols -> FEC messages.
+
+    Symbols are 2 ms (2 tracking epochs); symbol sync reuses the sign-flip
+    histogram (checksync role, sdrnav.c:126-144 with the SBAS symbol
+    length). The rate-1/2 K=7 coder is continuous and transparent (both
+    generators have odd weight), so data polarity and symbol-pair
+    alignment are resolved by trial: decode all four (polarity x pair
+    phase) hypotheses and keep whichever yields CRC-valid messages
+    (predecodefec + findpreamble roles, sdrnav.c:194-236, :284-328;
+    MT12 fields per sdrnav_sbs.c:47-97).
+    """
+    from . import sbas
+
+    phase, quality = obs_mod.bit_sync(i_prompt, start_epoch=skip_epochs,
+                                      bit_epochs=2)
+    if quality < min_sync_quality:
+        return []
+    _, _, sums = obs_mod.extract_bits(i_prompt, phase, bit_epochs=2)
+    scale = np.median(np.abs(sums))
+    if scale <= 0 or sums.size < 2 * sbas.MSG_BITS:
+        return []
+    # soft probability of symbol '1' from the normalized correlator sum
+    soft = np.clip(0.5 + sums / (4.0 * scale), 0.0, 1.0)
+    for cand in (soft, soft[1:], 1.0 - soft, 1.0 - soft[1:]):
+        cand = cand[: cand.size - cand.size % 2]
+        msgs = sbas.decode_stream(cand)
+        if msgs:
+            return msgs
+    return []

@@ -54,6 +54,60 @@ def gps_ca_code(prn: int) -> np.ndarray:
     return out
 
 
+# Published G2 delays (chips) for SBAS PRN 120..138 (DO-229 / the
+# IS-GPS-200 C/A family extension; same constants as the sdrcode.c:103-119
+# delay table rows 120..138).
+_SBAS_G2_DELAY = {
+    120: 145, 121: 175, 122: 52, 123: 21, 124: 237, 125: 235, 126: 886,
+    127: 657, 128: 634, 129: 762, 130: 355, 131: 1012, 132: 176, 133: 603,
+    134: 130, 135: 359, 136: 595, 137: 68, 138: 386,
+}
+
+
+@functools.lru_cache(maxsize=1)
+def _ca_base_sequences() -> tuple[np.ndarray, np.ndarray]:
+    """Full-period (1023,) 0/1 G1 and G2 maximal-length sequences of the
+    C/A family (G1: x^10+x^3+1; G2: x^10+x^9+x^8+x^6+x^3+x^2+1)."""
+    g1 = np.ones(10, dtype=np.int8)
+    g2 = np.ones(10, dtype=np.int8)
+    s1 = np.empty(1023, np.int8)
+    s2 = np.empty(1023, np.int8)
+    for i in range(1023):
+        s1[i] = g1[9]
+        s2[i] = g2[9]
+        fb1 = g1[2] ^ g1[9]
+        fb2 = g2[1] ^ g2[2] ^ g2[5] ^ g2[7] ^ g2[8] ^ g2[9]
+        g1[1:] = g1[:-1]
+        g1[0] = fb1
+        g2[1:] = g2[:-1]
+        g2[0] = fb2
+    return s1, s2
+
+
+def ca_code_from_delay(delay_chips: int) -> np.ndarray:
+    """C/A-family Gold code as +/-1 int8 from a G2 circular delay.
+
+    The delay formulation is equivalent to the per-PRN G2 tap pairs:
+    C(t) = G1(t) xor G2((t - delay) mod 1023) (sdrcode.c:143-145 form)."""
+    s1, s2 = _ca_base_sequences()
+    idx = (np.arange(1023) - delay_chips) % 1023
+    return (1 - 2 * (s1 ^ s2[idx])).astype(np.int8)
+
+
+@functools.lru_cache(maxsize=32)
+def sbas_ca_code(prn: int) -> np.ndarray:
+    """SBAS L1 C/A code for PRN 120..138 as +/-1 int8, length 1023."""
+    if prn not in _SBAS_G2_DELAY:
+        raise ValueError(f"SBAS PRN must be 120..138, got {prn}")
+    return ca_code_from_delay(_SBAS_G2_DELAY[prn])
+
+
+def sbas_ca_table() -> np.ndarray:
+    """(19, 1023) float32 table of all SBAS C/A codes (PRN 120..138)."""
+    return np.stack([sbas_ca_code(p)
+                     for p in sorted(_SBAS_G2_DELAY)]).astype(np.float32)
+
+
 @functools.lru_cache(maxsize=1)
 def glonass_code() -> np.ndarray:
     """GLONASS 511-chip ranging code as +/-1 int8 (all FDMA channels share it).

@@ -27,7 +27,10 @@ class SatelliteSignal:
     code_phase_chips: float = 0.0      # initial code phase offset
     carrier_phase_rad: float = 0.0
     amplitude: float = 1.0
-    nav_bits: tuple = ()               # +/-1 bits, 20 ms each; empty = none
+    nav_bits: tuple = ()               # +/-1 bits; empty = none
+    bit_periods: int = 20              # code periods per data bit/symbol
+    #   20 = GPS LNAV 50 bps; 2 = SBAS 500 sps symbols (PRN >= 120 selects
+    #   the SBAS C/A-family code automatically)
 
 
 def ca_baseband(sat: SatelliteSignal, n_samples: int,
@@ -37,7 +40,9 @@ def ca_baseband(sat: SatelliteSignal, n_samples: int,
     Code Doppler is carrier-aided: fcode = chip_rate * (1 + fd/fL1), the same
     relation the tracking loop assumes (sdrtrk.c:105-107).
     """
-    code = jnp.asarray(codes_ops.gps_ca_code(sat.prn), dtype=jnp.float32)
+    code = jnp.asarray(
+        codes_ops.sbas_ca_code(sat.prn) if sat.prn >= 120
+        else codes_ops.gps_ca_code(sat.prn), dtype=jnp.float32)
     fcode = C.GPS_CA_CHIP_RATE_HZ * (1.0 + sat.doppler_hz / C.GPS_L1_FREQ_HZ)
     chips = codes_ops.resample_code(code, fcode, sample_rate, n_samples,
                                     rem_chips=sat.code_phase_chips)
@@ -47,9 +52,11 @@ def ca_baseband(sat: SatelliteSignal, n_samples: int,
 
     if sat.nav_bits:
         bits = jnp.asarray(sat.nav_bits, dtype=jnp.float32)
-        # 20 code periods (20 ms) per bit; which bit is each sample in?
+        # bit_periods code periods per bit; which bit is each sample in?
         chips_elapsed = sat.code_phase_chips + t * fcode
-        bit_idx = jnp.floor(chips_elapsed / (20.0 * C.GPS_CA_CODE_LEN)).astype(jnp.int32)
+        bit_idx = jnp.floor(chips_elapsed / (float(sat.bit_periods)
+                                             * C.GPS_CA_CODE_LEN)
+                            ).astype(jnp.int32)
         bit_idx = jnp.clip(bit_idx, 0, len(sat.nav_bits) - 1)
         data = jnp.take(bits, bit_idx)
     else:

@@ -1,0 +1,65 @@
+"""SBAS L1 channel end-to-end: C/A PRN 120..138 codes through acquisition,
+tracking, symbol sync, continuous-FEC decode, MT12 time extraction.
+
+Reference behavior: sdrcode.c:103-119 delay table rows 120..138 (codes),
+sdrnav.c:194-236 predecodefec + sdrnav_sbs.c:47-97 MT12 decode.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from gps_jamming_tpu.models.receiver import receiver as rx_mod
+from gps_jamming_tpu.models.receiver import sbas
+from gps_jamming_tpu.ops import codes
+from gps_jamming_tpu.sim import gps as sim_gps
+
+FS = 2.048e6
+
+
+def test_sbas_code_properties():
+    c = codes.sbas_ca_code(129)
+    assert c.size == 1023 and set(np.unique(c)) <= {-1, 1}
+    # Gold-code balance: 512 chips of one sign, 511 of the other
+    assert abs(int(c.sum())) == 1
+    # distinct from every GPS PRN and from other SBAS PRNs
+    for p in range(1, 33):
+        assert abs(int((c * codes.gps_ca_code(p)).sum())) < 150
+    assert abs(int((c * codes.sbas_ca_code(120)).sum())) < 150
+    # delay construction reproduces the tap-pair construction (PRN1 <-> 5)
+    assert np.array_equal(codes.ca_code_from_delay(5), codes.gps_ca_code(1))
+    tbl = codes.sbas_ca_table()
+    assert tbl.shape == (19, 1023)
+
+
+def test_sbas_channel_decodes_mt12():
+    week, tow0 = 310, 345600.0
+    msgs = [sbas.build_mt12(tow0 + k, week, preamble_idx=k % 3)
+            for k in range(3)]
+    sym01 = sbas.encode_stream(msgs)            # 0/1 symbols @ 500 sps
+    sym_pm = tuple((2 * sym01 - 1).tolist())    # '1' -> +1 prompt sign
+
+    sat = sim_gps.SatelliteSignal(
+        prn=129, doppler_hz=1250.0, code_phase_chips=317.25,
+        amplitude=1.0, nav_bits=sym_pm, bit_periods=2)
+    n = int(4.2 * FS)
+    x = sim_gps.scene([sat], n, FS, noise_std=0.8,
+                      key=jax.random.PRNGKey(11))
+
+    res = rx_mod.run_receiver(np.asarray(x), FS, system="sbas")
+    ch = {c.prn: c for c in res.channels}
+    assert ch[129].acquired
+    assert abs(ch[129].doppler_hz - 1250.0) < 250.0
+    # no other SBAS PRN falsely acquired with a strong ratio
+    others = [c for c in res.channels if c.prn != 129 and c.acquired]
+    assert len(others) <= 2
+
+    got = ch[129].messages
+    assert got, "no SBAS messages decoded"
+    mt12 = [m for m in got if m.mt == sbas.MT12]
+    assert mt12, "no MT12 decoded"
+    tows = sorted(m.tow_s for m in mt12)
+    assert any(abs(t - (tow0 + k)) < 0.5 for t in tows for k in range(3))
+    assert all(m.week == week for m in mt12)
+    # SBAS contributes no PVT (message channel only)
+    assert res.fixes == []
