@@ -192,6 +192,32 @@ def cmd_receiver(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Live web dashboard (the GUI layer, no Qt): optionally replays an
+    analysis of the given captures into it."""
+    import threading
+
+    from .runtime import dashboard
+    state = dashboard.DashboardState()
+    srv = dashboard.make_server(state, port=args.port)
+    if args.files:
+        positions = _parse_positions(args.positions, len(args.files))
+        threading.Thread(
+            target=dashboard.replay_analysis,
+            args=(state, args.files),
+            kwargs=dict(system=args.system, max_seconds=args.max_seconds,
+                        realtime=args.realtime,
+                        antenna_positions=positions),
+            daemon=True).start()
+    print(f"dashboard: http://127.0.0.1:{srv.server_address[1]}/ "
+          "(POST telemetry to /data)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def cmd_record(args) -> int:
     """Live RTL-SDR capture (recording_dialog.py workflow, headless)."""
     from .runtime import capture
@@ -360,6 +386,19 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--system", default="gps",
                     choices=["gps", "glonass", "galileo"])
     rp.set_defaults(fn=cmd_report)
+
+    sv = sub.add_parser("serve", help="live web dashboard (GUI, no Qt)")
+    sv.add_argument("files", nargs="*",
+                    help="captures to analyze + replay into the dashboard")
+    sv.add_argument("--port", type=int, default=1234)
+    sv.add_argument("--positions",
+                    help='antenna meters "x1,y1;x2,y2;..."')
+    sv.add_argument("--system", default="gps",
+                    choices=["gps", "glonass", "galileo"])
+    sv.add_argument("--max-seconds", type=float)
+    sv.add_argument("--realtime", action="store_true",
+                    help="pace the replay at capture time")
+    sv.set_defaults(fn=cmd_serve)
 
     r = sub.add_parser("receiver", help="GNSS receiver chain -> PVT fix")
     r.add_argument("file")
