@@ -39,7 +39,7 @@ def _build_tpu_chain():
         thr = power.power_threshold_linear(base, 6.0)
         flags = pm > thr
         blocks = x[: n_intg * n_code].reshape(n_intg, n_code)
-        surf = caf.caf_accumulate(blocks, replica, jnp.asarray(freqs), fs)
+        surf = caf.caf_accumulate(blocks, replica, freqs, fs)
         peak = jnp.max(surf, axis=(-2, -1))
         return psd, pm, flags, peak
 
@@ -49,16 +49,35 @@ def _build_tpu_chain():
     return jax.jit(forward), raw, n_block
 
 
-def _time_tpu(jfn, raw, n_block, warmup=2, iters=8):
+def _time_tpu(jfn, raw, n_block, n_lo=4, n_hi=132, reps=5):
+    """Sustained per-step time via the two-point (slope) method.
+
+    On tunneled TPU runtimes `jax.block_until_ready` does not reliably
+    drain the execution queue, and a device->host fetch pays a large fixed
+    round-trip latency. So: run the step n_lo times then n_hi times, each
+    ending with one host fetch of the final outputs (which forces the whole
+    queue), and take the slope (t_hi - t_lo)/(n_hi - n_lo). The fixed fetch
+    latency cancels; the result is the honest pipelined per-step cost.
+    Median of `reps` estimates for robustness.
+    """
     import jax
-    for _ in range(warmup):
-        out = jfn(raw)
-        jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(raw)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+
+    def fetch(out):
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    def timed(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = jfn(raw)
+        fetch(out)
+        return time.perf_counter() - t0
+
+    fetch(jfn(raw))                      # warm up + drain
+    lo = [timed(n_lo) for _ in range(reps)]
+    hi = [timed(n_hi) for _ in range(reps)]
+    dt = (float(np.median(hi)) - float(np.median(lo))) / (n_hi - n_lo)
+    dt = max(dt, 1e-9)
     return n_block / dt / 1e6          # Msamples/s
 
 
@@ -82,8 +101,9 @@ def _time_cpu_reference(n_block, iters=2):
     rep = np.conj(np.fft.fft(sampled, axis=-1))
     freqs = np.arange(71) * 200.0 - 7000.0
 
-    t0 = time.perf_counter()
+    best = np.inf
     for _ in range(iters):
+        t0 = time.perf_counter()
         f = raw.astype(np.float32) - 127.5
         x = (f[0::2] + 1j * f[1::2]).astype(np.complex64)
         _, _ = ss.welch(x, fs, nperseg=1024, return_onesided=False)
@@ -102,8 +122,8 @@ def _time_cpu_reference(n_block, iters=2):
             y = np.fft.ifft(mf[None, :, :] * rep[:, None, :], axis=-1)
             acc += np.abs(y).astype(np.float32) ** 2
         _ = acc.max(axis=(-2, -1))
-    dt = (time.perf_counter() - t0) / iters
-    return n_block / dt / 1e6
+        best = min(best, time.perf_counter() - t0)
+    return n_block / best / 1e6        # best-of-N: conservative baseline
 
 
 def main():

@@ -70,10 +70,10 @@ def acquire_all(blocks, replica_fft_conj,
     blocks: (n_intg, n_samples) complex or CArray baseband, one code period
     each. replica_fft_conj: (n_prn, n_samples) complex or CArray.
     """
-    freqs = jnp.asarray(caf_ops.doppler_bins(cfg.doppler_max_hz,
-                                             cfg.doppler_step_hz))
+    freqs = caf_ops.doppler_bins(cfg.doppler_max_hz, cfg.doppler_step_hz)
     surf = caf_ops.caf_accumulate(blocks, replica_fft_conj, freqs,
                                   sample_rate)           # (n_prn, n_f, n)
+    freqs = jnp.asarray(freqs)
     return acquisition_test(surf, freqs, sample_rate, cfg, code_period_s,
                             code_len_chips)
 

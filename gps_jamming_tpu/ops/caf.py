@@ -67,14 +67,29 @@ def caf_surface(x, replica_fft_conj, freqs: jax.Array,
     return fftcore.ifft_power_p(prod)
 
 
-def caf_accumulate(blocks, replica_fft_conj, freqs: jax.Array,
+def caf_accumulate(blocks, replica_fft_conj, freqs,
                    sample_rate: float) -> jax.Array:
     """Non-coherent accumulation of CAF power over integration blocks.
 
     blocks: (n_blocks, n). Equivalent to the reference's `intg`-fold
     accumulation loop in `sdraqcuisition` (sdracq.c:15-27) but evaluated as
     one batched op and summed.
+
+    When running on TPU with host-resident (numpy) replica planes and
+    concrete Doppler bins, dispatches to the fused Pallas kernel
+    (`ops.pallas_caf`), which keeps the (block x PRN x Doppler) product and
+    inverse DFT in VMEM instead of materializing ~GBs in HBM.
     """
+    if (jax.default_backend() == "tpu"
+            and isinstance(freqs, np.ndarray)
+            and isinstance(replica_fft_conj, cplx.CArray)
+            and isinstance(replica_fft_conj.re, np.ndarray)
+            and getattr(blocks, "ndim", 0) == 2):
+        from . import fftcore, pallas_caf
+        if pallas_caf.supported(blocks.shape[-1]):
+            return pallas_caf.caf_accumulate_fused(
+                blocks, replica_fft_conj, freqs, sample_rate,
+                precision=fftcore.get_precision())
     p = caf_surface(blocks, replica_fft_conj, freqs, sample_rate)
     return jnp.sum(p, axis=0)
 

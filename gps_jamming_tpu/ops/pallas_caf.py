@@ -1,0 +1,287 @@
+"""Fused Pallas CAF acquisition kernel (TPU).
+
+The XLA formulation of the acquisition CAF (`caf.caf_accumulate`) is
+HBM-bound: the (n_blocks, n_prn, n_freq, n_lag) frequency-domain product and
+its IFFT are materialized in HBM (~1.5 GB of traffic for the GPS 10x32x71x2048
+search — the batched generalization of `pcorrelator`/`cpxconv`,
+sdrcmn.c:124-147/:742-773). This kernel fuses Doppler mix -> forward DFT ->
+replica product -> inverse DFT -> |.|^2 -> non-coherent accumulation into one
+pass that keeps every intermediate in VMEM; HBM sees only the input blocks,
+the oscillator/replica tables, and the final (n_prn, n_freq, n_lag) surface.
+
+DFTs are evaluated as two-stage Cooley-Tukey matmuls in a *permuted frequency
+order* chosen so that the kernel needs only right-multiplications and
+minor-dim (sublane<->lane) swaps — no major-axis transposes:
+
+  time index   t = n1*t2 + t1      (t1 in [0,n1), t2 in [0,n2))
+  freq index   k = k2 + n2*k1      (k1 in [0,n1), k2 in [0,n2))
+
+  forward:  Y[t1,k2]  = sum_t2 x[t1,t2] W_n2^{k2 t2}      (.,n2)@(n2,n2)
+            Z[k2,t1]  = swap(Y) * W_n^{k2 t1}
+            M[k2,k1]  = sum_t1 Z[k2,t1] W_n1^{k1 t1}      (.,n1)@(n1,n1)
+  product:  P[c,k2,k1] = M[k2,k1] * rep_perm[c,k2,k1]
+  inverse:  A[c,k2,t1] = sum_k1 P[c,k2,k1] W_n1^{-k1 t1}  (.,n1)@(n1,n1)
+            B[c,t1,k2] = swap(W_n^{-k2 t1} * A)
+            x[c,t1,t2] = sum_k2 B[c,t1,k2] W_n2^{-k2 t2}/n  (.,n2)@(n2,n2)
+  power:    out[c, n1*t2 + t1] += |x[c,t1,t2]|^2   (minor swap then reshape)
+
+The replica spectrum is pre-permuted on the host, so the point-wise product
+is order-consistent and the final lag axis comes out in natural order — the
+classic "decimation without bit-reversal" convolution trick.
+
+Grid: (n_freq/freq_tile, n_blocks) with blocks innermost; the output block
+for a Doppler tile stays resident in VMEM while the non-coherent sum
+accumulates, and `freq_tile` Doppler bins are processed per step so the
+inverse stage-B matmul is a well-shaped (freq_tile*n_prn*n1, n2) x (n2, n2)
+MXU call instead of 71x10 slivers.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cplx
+
+_LANE = 128
+
+
+def factorization(n: int) -> tuple[int, int] | None:
+    """(n1, n2) with n = n1*n2, n2 a multiple of 128, n1 in [2, 256]."""
+    best = None
+    for n1 in range(2, 257):
+        if n % n1 == 0:
+            n2 = n // n1
+            if n2 % _LANE == 0:
+                if best is None or (n1 + n2) < sum(best):
+                    best = (n1, n2)
+    return best
+
+
+def supported(n: int) -> bool:
+    return factorization(n) is not None
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_consts(n: int) -> dict:
+    n1, n2 = factorization(n)
+    k2 = np.arange(n2)
+    t2 = np.arange(n2)
+    k1 = np.arange(n1)
+    t1 = np.arange(n1)
+
+    def cs(ang):
+        return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+    d2fT = cs(-2.0 * np.pi * np.outer(t2, k2) / n2)         # (n2, n2) [t2,k2]
+    twf = cs(-2.0 * np.pi * np.outer(k2, t1) / n)           # (n2, n1) [k2,t1]
+    d1f = cs(-2.0 * np.pi * np.outer(t1, k1) / n1)          # (n1, n1) [t1,k1]
+    id1 = cs(+2.0 * np.pi * np.outer(k1, t1) / n1)          # (n1, n1) [k1,t1]
+    twi = cs(+2.0 * np.pi * np.outer(k2, t1) / n)           # (n2, n1) [k2,t1]
+    ang = +2.0 * np.pi * np.outer(k2, t2) / n2
+    id2 = (np.cos(ang).astype(np.float32) / n,
+           np.sin(ang).astype(np.float32) / n)              # (n2, n2) [k2,t2]
+    return {"n1": n1, "n2": n2, "d2fT": d2fT, "twf": twf, "d1f": d1f,
+            "id1": id1, "twi": twi, "id2": id2}
+
+
+def permute_replica(rep_re: np.ndarray, rep_im: np.ndarray,
+                    n1: int, n2: int) -> tuple[np.ndarray, np.ndarray]:
+    """(C, n) natural freq order -> (C, n2, n1) permuted k = k2 + n2*k1."""
+    c = rep_re.shape[0]
+    pr = np.ascontiguousarray(
+        rep_re.reshape(c, n1, n2).transpose(0, 2, 1), dtype=np.float32)
+    pi = np.ascontiguousarray(
+        rep_im.reshape(c, n1, n2).transpose(0, 2, 1), dtype=np.float32)
+    return pr, pi
+
+
+@functools.lru_cache(maxsize=16)
+def _osc_table(freqs_key: tuple, sample_rate: float, n: int, n1: int,
+               n2: int, pad_to: int) -> tuple[np.ndarray, np.ndarray]:
+    """Doppler phasors e^{-j 2 pi f t / fs}, (F_padded, n2, n1) time layout.
+
+    Padding rows replicate the last bin (their output is sliced off)."""
+    freqs = np.asarray(freqs_key, np.float64)
+    if pad_to > freqs.shape[0]:
+        freqs = np.concatenate(
+            [freqs, np.full(pad_to - freqs.shape[0], freqs[-1])])
+    t = np.arange(n) / sample_rate
+    ang = -2.0 * np.pi * freqs[:, None] * t[None, :]
+    osc_re = np.cos(ang).astype(np.float32).reshape(-1, n2, n1)
+    osc_im = np.sin(ang).astype(np.float32).reshape(-1, n2, n1)
+    return osc_re, osc_im
+
+
+def _make_kernel(precision: str):
+    from jax.experimental import pallas as pl
+
+    if precision == "bf16":
+        def cast(a):
+            return a.astype(jnp.bfloat16)
+    else:
+        def cast(a):
+            return a
+
+    def mm(ar, ai, br, bi):
+        """Complex matmul over the LAST axis of (.., k) against (k, m)."""
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        sh = ar.shape[:-1]
+        k = ar.shape[-1]
+        ar = cast(ar.reshape(-1, k))
+        ai = cast(ai.reshape(-1, k))
+        br, bi = cast(br), cast(bi)
+        rr = dot(ar, br) - dot(ai, bi)
+        ri = dot(ar, bi) + dot(ai, br)
+        m = br.shape[-1]
+        return rr.reshape(sh + (m,)), ri.reshape(sh + (m,))
+
+    def swap(a):
+        return jnp.swapaxes(a, -1, -2)
+
+    def kernel(x_re, x_im, osc_re, osc_im, rep_re, rep_im,
+               d2fTr, d2fTi, twfr, twfi, d1fr, d1fi,
+               id1r, id1i, twir, twii, id2r, id2i, out_ref):
+        b = pl.program_id(1)
+        # Doppler mix: (Ft, n2, n1) = x (n2, n1) * osc (Ft, n2, n1)
+        xr, xi = x_re[0], x_im[0]
+        mr = xr[None] * osc_re[:] - xi[None] * osc_im[:]
+        mi = xr[None] * osc_im[:] + xi[None] * osc_re[:]
+        # forward stage A over t2: swap -> (Ft, n1, n2), right-mult d2fT
+        yr, yi = mm(swap(mr), swap(mi), d2fTr[:], d2fTi[:])  # (Ft, n1, k2)
+        # twiddle in [k2, t1] layout: swap first
+        yr, yi = swap(yr), swap(yi)                          # (Ft, n2, n1)
+        zr = yr * twfr[:][None] - yi * twfi[:][None]
+        zi = yr * twfi[:][None] + yi * twfr[:][None]
+        # forward stage B over t1 -> M[ft, k2, k1]
+        mr2, mi2 = mm(zr, zi, d1fr[:], d1fi[:])
+        # replica product: (Ft, 1, n2, n1) x (1, C, n2, n1)
+        pr = rep_re[:][None] * mr2[:, None] - rep_im[:][None] * mi2[:, None]
+        pi = rep_re[:][None] * mi2[:, None] + rep_im[:][None] * mr2[:, None]
+        # inverse stage A over k1
+        ar, ai = mm(pr, pi, id1r[:], id1i[:])            # (Ft, C, n2, t1)
+        br = ar * twir[:][None, None] - ai * twii[:][None, None]
+        bi = ar * twii[:][None, None] + ai * twir[:][None, None]
+        # swap -> (Ft, C, n1, k2); inverse stage B over k2
+        xr2, xi2 = mm(swap(br), swap(bi), id2r[:], id2i[:])  # (Ft, C, n1, t2)
+        p = xr2 * xr2 + xi2 * xi2                        # (Ft, C, n1, n2)
+        # the [t1, t2] -> [t2, t1] de-permute happens outside the kernel
+        # (XLA transpose of the final surface) — one less VMEM relayout here
+
+        @pl.when(b == 0)
+        def _():
+            out_ref[:] = p
+
+        @pl.when(b != 0)
+        def _():
+            out_ref[:] = out_ref[:] + p
+
+    return kernel
+
+
+def _pick_freq_tile(nf: int, nprn: int, n: int) -> int:
+    """Largest tile with bounded VMEM (several (Ft,C,n2,n1) f32 pairs)."""
+    budget = 8 * (1 << 20)                 # ~8 MB for the big intermediates
+    per_freq = nprn * n * 4 * 6            # ~6 live (re, im) planes
+    ft = max(1, min(16, budget // max(per_freq, 1)))
+    return int(ft)
+
+
+def caf_accumulate_fused(blocks, replica_fft_conj, freqs,
+                         sample_rate: float, *,
+                         precision: str = "f32",
+                         freq_tile: int | None = None,
+                         interpret: bool | None = None) -> jax.Array:
+    """Drop-in fused version of `caf.caf_accumulate`.
+
+    blocks: CArray/complex (n_blocks, n). replica_fft_conj: CArray (n_prn, n)
+    with HOST (numpy) planes, natural frequency order. freqs: concrete
+    (n_freq,) array of Doppler bins [Hz]. Returns (n_prn, n_freq, n) float32.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = cplx.asarray(blocks)
+    nb, n = x.shape
+    k = _dft_consts(n)
+    n1, n2 = k["n1"], k["n2"]
+
+    rep = replica_fft_conj
+    if not isinstance(rep, cplx.CArray):
+        rep = cplx.asarray(rep)
+    rep_re = np.asarray(rep.re, np.float32)
+    rep_im = np.asarray(rep.im, np.float32)
+    nprn = rep_re.shape[0]
+    prr, pri = permute_replica(rep_re, rep_im, n1, n2)
+
+    freqs_np = np.asarray(freqs, np.float64).reshape(-1)
+    nf = freqs_np.shape[0]
+    if freq_tile is None:
+        freq_tile = _pick_freq_tile(nf, nprn, n)
+    nfp = -(-nf // freq_tile) * freq_tile
+    osc_re, osc_im = _osc_table(tuple(freqs_np.tolist()), float(sample_rate),
+                                n, n1, n2, nfp)
+
+    x3 = cplx.apply(lambda a: a.reshape(nb, n2, n1), x)
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    kern = _make_kernel(precision)
+
+    def spec(shape, index_map):
+        return pl.BlockSpec(shape, index_map)
+
+    ft = freq_tile
+    in_specs = [
+        spec((1, n2, n1), lambda f, b: (b, 0, 0)),       # x re
+        spec((1, n2, n1), lambda f, b: (b, 0, 0)),       # x im
+        spec((ft, n2, n1), lambda f, b: (f, 0, 0)),      # osc re
+        spec((ft, n2, n1), lambda f, b: (f, 0, 0)),      # osc im
+        spec((nprn, n2, n1), lambda f, b: (0, 0, 0)),    # rep re
+        spec((nprn, n2, n1), lambda f, b: (0, 0, 0)),    # rep im
+        spec((n2, n2), lambda f, b: (0, 0)),             # d2fT re
+        spec((n2, n2), lambda f, b: (0, 0)),
+        spec((n2, n1), lambda f, b: (0, 0)),             # twf
+        spec((n2, n1), lambda f, b: (0, 0)),
+        spec((n1, n1), lambda f, b: (0, 0)),             # d1f
+        spec((n1, n1), lambda f, b: (0, 0)),
+        spec((n1, n1), lambda f, b: (0, 0)),             # id1
+        spec((n1, n1), lambda f, b: (0, 0)),
+        spec((n2, n1), lambda f, b: (0, 0)),             # twi
+        spec((n2, n1), lambda f, b: (0, 0)),
+        spec((n2, n2), lambda f, b: (0, 0)),             # id2
+        spec((n2, n2), lambda f, b: (0, 0)),
+    ]
+    out_spec = spec((ft, nprn, n1, n2), lambda f, b: (f, 0, 0, 0))
+
+    kwargs = {}
+    if not interpret:
+        # v5e has 128 MiB of VMEM; the default 16 MiB scoped limit is too
+        # small for the (ft, C, n2, n1) intermediates at useful freq tiles.
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        kern,
+        grid=(nfp // ft, nb),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nfp, nprn, n1, n2), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(x3.re, x3.im,
+      jnp.asarray(osc_re), jnp.asarray(osc_im),
+      jnp.asarray(prr), jnp.asarray(pri),
+      jnp.asarray(k["d2fT"][0]), jnp.asarray(k["d2fT"][1]),
+      jnp.asarray(k["twf"][0]), jnp.asarray(k["twf"][1]),
+      jnp.asarray(k["d1f"][0]), jnp.asarray(k["d1f"][1]),
+      jnp.asarray(k["id1"][0]), jnp.asarray(k["id1"][1]),
+      jnp.asarray(k["twi"][0]), jnp.asarray(k["twi"][1]),
+      jnp.asarray(k["id2"][0]), jnp.asarray(k["id2"][1]))
+
+    # (Fp, C, n1, n2) [f, c, t1, t2] -> (C, F, n2, n1) -> (C, F, n): the lag
+    # t = n1*t2 + t1 is the natural minor flatten of (n2, n1).
+    out = jnp.transpose(out, (1, 0, 3, 2)).reshape(nprn, nfp, n)
+    return out[:, :nf]

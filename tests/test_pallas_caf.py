@@ -1,0 +1,93 @@
+"""Fused Pallas CAF kernel vs the XLA reference path (interpret mode on CPU).
+
+The kernel's permuted-frequency Cooley-Tukey factorization, host-permuted
+replica table, and non-coherent grid accumulation must reproduce
+`caf.caf_accumulate` (itself validated against numpy in test_corr/test_sim).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gps_jamming_tpu.ops import caf, cplx, pallas_caf
+
+FS = 2.048e6
+
+
+def _case(n, n_blocks, n_prn, n_freq, seed=0):
+    rng = np.random.default_rng(seed)
+    x = cplx.CArray(
+        jnp.asarray(rng.standard_normal((n_blocks, n)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((n_blocks, n)).astype(np.float32)))
+    rep_c = rng.standard_normal((n_prn, n)) + 1j * rng.standard_normal(
+        (n_prn, n))
+    rep_host = cplx.CArray(np.real(rep_c).astype(np.float32),
+                           np.imag(rep_c).astype(np.float32))
+    freqs = caf.doppler_bins(2000.0, 500.0)[:n_freq]
+    return x, rep_host, freqs
+
+
+def _xla_ref(x, rep_host, freqs):
+    rep = cplx.CArray(jnp.asarray(rep_host.re), jnp.asarray(rep_host.im))
+    return np.asarray(
+        jnp.sum(caf.caf_surface(x, rep, jnp.asarray(freqs), FS), axis=0))
+
+
+def test_factorization():
+    assert pallas_caf.factorization(2048) == (16, 128)
+    assert pallas_caf.factorization(256) == (2, 128)
+    assert pallas_caf.factorization(16384) == (128, 128)
+    assert pallas_caf.factorization(10000) is None
+    assert not pallas_caf.supported(10000)
+    assert pallas_caf.supported(4096)
+
+
+@pytest.mark.parametrize("freq_tile", [1, 2, 4])
+def test_fused_matches_xla(freq_tile):
+    x, rep, freqs = _case(n=256, n_blocks=3, n_prn=4, n_freq=5)
+    ref = _xla_ref(x, rep, freqs)
+    got = np.asarray(pallas_caf.caf_accumulate_fused(
+        x, rep, freqs, FS, freq_tile=freq_tile, interpret=True))
+    assert got.shape == ref.shape == (4, 5, 256)
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 1e-4
+
+
+def test_fused_padding_slices_extra_bins():
+    # n_freq=5 with freq_tile=4 pads to 8 internally; output must be (C,5,n)
+    x, rep, freqs = _case(n=256, n_blocks=2, n_prn=3, n_freq=5, seed=1)
+    ref = _xla_ref(x, rep, freqs)
+    got = np.asarray(pallas_caf.caf_accumulate_fused(
+        x, rep, freqs, FS, freq_tile=4, interpret=True))
+    assert got.shape == (3, 5, 256)
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 1e-4
+
+
+def test_fused_bf16_close():
+    x, rep, freqs = _case(n=256, n_blocks=2, n_prn=3, n_freq=3, seed=2)
+    ref = _xla_ref(x, rep, freqs)
+    got = np.asarray(pallas_caf.caf_accumulate_fused(
+        x, rep, freqs, FS, precision="bf16", freq_tile=1, interpret=True))
+    # bf16 operands, f32 accumulation: ~1% on a power surface
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 0.05
+
+
+def test_fused_peak_detection_parity():
+    """A buried replica must produce the same (prn, doppler, lag) peak."""
+    n, nb = 256, 4
+    rng = np.random.default_rng(3)
+    rep_c = np.sign(rng.standard_normal((3, n))) + 0j    # chip-like codes
+    rep_fft_conj = np.conj(np.fft.fft(rep_c, axis=-1))
+    rep = cplx.CArray(np.real(rep_fft_conj).astype(np.float32),
+                      np.imag(rep_fft_conj).astype(np.float32))
+    freqs = caf.doppler_bins(2000.0, 1000.0)             # 5 bins
+    true_lag, true_f, prn = 37, 1000.0, 1
+    t = np.arange(n) / FS
+    sig = np.roll(rep_c[prn], true_lag) * np.exp(2j * np.pi * true_f * t)
+    blocks = np.tile(sig, (nb, 1))
+    blocks = blocks + 0.1 * (rng.standard_normal((nb, n))
+                             + 1j * rng.standard_normal((nb, n)))
+    x = cplx.CArray(jnp.asarray(np.real(blocks).astype(np.float32)),
+                    jnp.asarray(np.imag(blocks).astype(np.float32)))
+    surf = np.asarray(pallas_caf.caf_accumulate_fused(
+        x, rep, freqs, FS, freq_tile=2, interpret=True))
+    c, f, lag = np.unravel_index(np.argmax(surf), surf.shape)
+    assert (c, freqs[f], lag) == (prn, true_f, true_lag)
