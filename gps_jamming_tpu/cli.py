@@ -259,6 +259,11 @@ def cmd_report(args) -> int:
     os.makedirs(args.out, exist_ok=True)
     fs = CFG.frontend.sample_rate_hz
 
+    raw_u8 = np.fromfile(args.files[0], dtype=np.uint8,
+                         count=2 * int(fs * (args.max_seconds or 4.0)))
+    viz.save_sample_histogram_png(
+        raw_u8, os.path.join(args.out, "histogram.png"))
+
     x = jnp.asarray(iq.read_iq_file(args.files[0], convention="centered"))
     chunk = min(int(fs), int(x.shape[-1]))
     sg = np.asarray(spectral.spectrogram(x, fs, chunk,
@@ -294,12 +299,38 @@ def cmd_report(args) -> int:
         jammer_lla=jam, events=res.events,
         localization=res.localization)
     res.telemetry.save_jsonl(os.path.join(args.out, "telemetry.jsonl"))
+    n_csv = analysis.export_position_csv(
+        res.telemetry.records, os.path.join(args.out, "positions.csv"))
     print(json.dumps({
         "out_dir": args.out,
         "n_events": len(res.events),
-        "files": ["waterfall.png", "power.png", "report.html",
-                  "telemetry.jsonl"]
+        "n_csv_fixes": n_csv,
+        "files": ["histogram.png", "waterfall.png", "power.png",
+                  "report.html", "telemetry.jsonl", "positions.csv"]
         + (["prn_series.png"] if series else [])}))
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    """Batch accuracy table over telemetry logs (TTFF, position error,
+    clock stats) — the helpers/sim.py + analyze_position.py harness."""
+    from .utils import analysis
+    rows = analysis.batch_report(args.logs, args.ref_lat, args.ref_lon,
+                                 args.ref_hgt)
+    for row, path in zip(rows, args.logs):
+        row["clock"] = analysis.clock_stats(analysis.load_records(path))
+    if args.out:
+        flat = [{**{k: v for k, v in r.items() if k != "clock"},
+                 **{f"clk_{k}": v for k, v in r["clock"].items()}}
+                for r in rows]
+        if args.out.endswith(".xlsx") and analysis.batch_report_excel(
+                flat, args.out):
+            pass
+        else:
+            out = args.out if args.out.endswith(".csv") else \
+                args.out.rsplit(".", 1)[0] + ".csv"
+            analysis.batch_report_csv(flat, out)
+    print(json.dumps(rows, default=_np_default))
     return 0
 
 
@@ -413,6 +444,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "re-acquisition (long / jam-interrupted captures)")
     r.add_argument("--segment-seconds", type=float, default=4.0)
     r.set_defaults(fn=cmd_receiver)
+
+    an = sub.add_parser(
+        "analyze", help="batch accuracy report over telemetry JSONL logs")
+    an.add_argument("logs", nargs="+", help="JSONL telemetry logs "
+                    "(this framework's or reference capture*.txt)")
+    an.add_argument("--ref-lat", type=float, required=True)
+    an.add_argument("--ref-lon", type=float, required=True)
+    an.add_argument("--ref-hgt", type=float)
+    an.add_argument("--out", help="write table here (.xlsx or .csv)")
+    an.set_defaults(fn=cmd_analyze)
     return p
 
 

@@ -58,3 +58,44 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def single_device_mesh() -> Mesh:
     """Degenerate 1x1 mesh (single chip path)."""
     return make_mesh(1, 1, devices=jax.devices()[:1])
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host bring-up: `jax.distributed.initialize` wrapper.
+
+    The multi-node transport the reference lacks entirely (its inter-process
+    fabric is loopback HTTP JSON, sdrout.c:7-8): one process per host, each
+    seeing its local chips; after init, `jax.devices()` is the global device
+    list and `multihost_mesh` lays ('antenna', 'time') over (hosts x chips)
+    so antenna fusion (psum/all_gather) rides ICI within a host and DCN
+    across hosts. No-ops (returns False) when already initialized or when
+    running single-process with no coordinator configured — single-host
+    paths call this unconditionally.
+    """
+    import os
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+        return True
+    except (RuntimeError, ValueError):
+        return False                  # already initialized
+
+
+def multihost_mesh(n_antenna: int | None = None) -> Mesh:
+    """Global (antenna, time) mesh over all processes' devices.
+
+    Default layout: antenna axis = hosts (each antenna's SDR stream is
+    captured/ingested by one host, so per-antenna work stays host-local and
+    only the fused reductions cross DCN), time axis = chips within a host.
+    """
+    devices = jax.devices()
+    if n_antenna is None:
+        n_antenna = max(jax.process_count(), 1)
+    return make_mesh(n_antenna, None, devices=devices)

@@ -116,20 +116,66 @@ def per_prn_series(records: list[dict]) -> dict[int, dict[str, np.ndarray]]:
             for prn, d in acc.items()}
 
 
+def load_records(path: str) -> list[dict]:
+    """Load telemetry records from a JSONL log (one JSON object per line —
+    both this framework's logs and the reference's capture*.txt archives)."""
+    records = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                records.append(json.loads(line))
+    return records
+
+
 def batch_report(log_paths: list[str], ref_lat: float, ref_lon: float,
                  ref_hgt: float | None = None) -> list[dict]:
     """Multi-run accuracy table (the raport_zbiorczy*.xlsx role of
     helpers/sim.py, as plain dicts -> caller serializes CSV/JSON)."""
     rows = []
     for path in log_paths:
-        records = []
-        with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    records.append(json.loads(line))
-        rep = position_report(records, ref_lat, ref_lon, ref_hgt)
+        rep = position_report(load_records(path), ref_lat, ref_lon, ref_hgt)
         row = dataclasses.asdict(rep)
         row["run"] = path
         rows.append(row)
     return rows
+
+
+def export_position_csv(records: list[dict], path: str) -> int:
+    """Headless-run CSV of (elapsed_time, lat, lon) fixes — the output
+    contract of the reference's `helpers/get_csv.py:64-112` harness.
+    Returns the number of rows written."""
+    n = 0
+    with open(path, "w") as f:
+        f.write("elapsed_time,lat,lon\n")
+        for r in records:
+            p = r["position"]
+            if p["nsat"] > 0:
+                f.write(f"{r['elapsed_time']},{p['lat']},{p['lon']}\n")
+                n += 1
+    return n
+
+
+def batch_report_excel(rows: list[dict], path: str) -> bool:
+    """Write a batch_report() table to .xlsx (helpers/sim.py:9-40 /
+    raport_zbiorczy*.xlsx parity). Returns False (and writes nothing) when
+    pandas/openpyxl are unavailable — callers fall back to CSV/JSON."""
+    try:
+        import pandas as pd
+        pd.DataFrame(rows).to_excel(path, index=False)
+        return True
+    except Exception:
+        return False
+
+
+def batch_report_csv(rows: list[dict], path: str) -> None:
+    """CSV fallback for the batch accuracy table."""
+    if not rows:
+        with open(path, "w") as f:
+            f.write("")
+        return
+    cols = list(rows[0].keys())
+    with open(path, "w") as f:
+        f.write(",".join(cols) + "\n")
+        for row in rows:
+            f.write(",".join(str(row[c]) for c in cols) + "\n")

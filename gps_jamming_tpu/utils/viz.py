@@ -68,6 +68,24 @@ def save_power_png(chunk_powers: np.ndarray, chunk_seconds: float,
     plt.close(fig)
 
 
+def save_sample_histogram_png(raw_u8: np.ndarray, path: str,
+                              max_samples: int = 1 << 22) -> None:
+    """Raw uint8 I/Q sample-value histogram (the ADC-headroom sanity panel
+    of widmo_plot.py's figure: clipping shows as mass at 0/255, a dead
+    front-end as a spike at 127/128)."""
+    plt = _plt()
+    v = np.asarray(raw_u8).reshape(-1)[:max_samples]
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.hist(v, bins=np.arange(257) - 0.5, color="steelblue")
+    ax.set_xlabel("uint8 sample value")
+    ax.set_ylabel("count")
+    ax.set_title("I/Q sample distribution")
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def save_rssi_heatmap_png(err: np.ndarray, xs: np.ndarray, ys: np.ndarray,
                           antennas, best_xy, minima, path: str) -> None:
     """Log-scaled error surface + antennas + top minima
