@@ -72,12 +72,12 @@ def cmd_localize(args) -> int:
     from .models import rssi, tdoa
     from .ops import iq
     positions = _parse_positions(args.positions, len(args.files))
-    caps = [jnp.asarray(iq.read_iq_file(p, convention="normalized"))
+    caps = [(iq.read_iq_file(p, convention="normalized"))
             for p in args.files]
     res = rssi.triangulate(caps, positions, cfg=CFG.rssi)
     out = {"rssi": res}
     if not args.no_tdoa and len(args.files) >= 2:
-        caps_c = [jnp.asarray(iq.read_iq_file(p, convention="centered"))
+        caps_c = [(iq.read_iq_file(p, convention="centered"))
                   for p in args.files]
         td = tdoa.localize(caps_c, positions, CFG.frontend.sample_rate_hz,
                            cfg=CFG.tdoa)
@@ -138,7 +138,7 @@ def cmd_calibrate(args) -> int:
     from .config import DEFAULT_CONFIG as CFG
     from .models import detector
     from .ops import iq
-    x = jnp.asarray(iq.read_iq_file(args.file, convention="centered"))
+    x = (iq.read_iq_file(args.file, convention="centered"))
     pm = detector.standalone_chunk_powers(x, CFG.detector)
     thr = float(np.asarray(detector.calibrate_threshold(pm)))
     ev = detector.standalone_events(np.asarray(pm), thr,
@@ -264,7 +264,7 @@ def cmd_report(args) -> int:
     viz.save_sample_histogram_png(
         raw_u8, os.path.join(args.out, "histogram.png"))
 
-    x = jnp.asarray(iq.read_iq_file(args.files[0], convention="centered"))
+    x = (iq.read_iq_file(args.files[0], convention="centered"))
     chunk = min(int(fs), int(x.shape[-1]))
     sg = np.asarray(spectral.spectrogram(x, fs, chunk,
                                          CFG.spectral.nperseg))

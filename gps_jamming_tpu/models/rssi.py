@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RssiConfig
-from ..ops import geodesy, pathloss, power as power_ops
+from ..ops import cplx, geodesy, pathloss, power as power_ops
 
 
 class RangingResult(NamedTuple):
@@ -42,7 +42,7 @@ def range_from_iq(iq_normalized: jax.Array, cfg: RssiConfig) -> RangingResult:
     amplitude > threshold marks signal turn-on; mean amplitude from there on;
     Prx = 10log10(amp^2); invert the log-distance model.
     """
-    amp = jnp.abs(iq_normalized)
+    amp = jnp.sqrt(cplx.abs2(cplx.asarray(iq_normalized)))
     onset = power_ops.find_first_above(amp, cfg.signal_threshold)
     mean_amp = power_ops.mean_after_onset(amp, onset)
     prx = pathloss.received_power_db(jnp.maximum(mean_amp, 1e-12))

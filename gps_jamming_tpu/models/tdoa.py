@@ -25,6 +25,7 @@ import numpy as np
 
 from ..config import TdoaConfig
 from ..ops import corr as corr_ops
+from ..ops import cplx
 from ..ops import power as power_ops
 from ..utils import constants as C
 
@@ -39,10 +40,12 @@ class PairTdoa(NamedTuple):
 
 def aligned_slices(iq_list: Sequence[jax.Array], cfg: TdoaConfig):
     """Onset-align each capture and cut the correlation slice
-    (triangulateTDOA.py:60-83). Returns (slices (n, L) array, onsets list);
-    raises ValueError when an onset is undetectable."""
+    (triangulateTDOA.py:60-83). Returns (slices CArray (n, L), onsets list);
+    raises ValueError when an onset is undetectable. Captures are converted
+    to planar (re, im) up front — complex dtypes never touch the device."""
+    planar = [cplx.asarray(x) for x in iq_list]
     starts = []
-    for x in iq_list:
+    for x in planar:
         s = int(power_ops.find_onset(x, cfg.noise_sample_size,
                                      cfg.detection_window_size,
                                      cfg.detection_threshold_factor))
@@ -52,8 +55,9 @@ def aligned_slices(iq_list: Sequence[jax.Array], cfg: TdoaConfig):
             raise ValueError("not enough samples after onset for the slice")
         starts.append(s)
     L = cfg.correlation_slice_size
-    slices = jnp.stack([
-        jax.lax.dynamic_slice_in_dim(x, s, L) for x, s in zip(iq_list, starts)])
+    slices = cplx.stack([
+        cplx.apply(lambda a, s=s: jax.lax.dynamic_slice_in_dim(a, s, L), x)
+        for x, s in zip(planar, starts)])
     return slices, starts
 
 
@@ -65,9 +69,10 @@ def pair_lags(slices: jax.Array, cfg: TdoaConfig) -> jax.Array:
     matching the reference's correlate(signal1, signal0).
     """
     n = slices.shape[0]
+    sl = cplx.asarray(slices)
     pairs = list(itertools.combinations(range(n), 2))
-    a = jnp.stack([slices[j] for (_, j) in pairs])
-    b = jnp.stack([slices[i] for (i, _) in pairs])
+    a = cplx.stack([sl[j] for (_, j) in pairs])
+    b = cplx.stack([sl[i] for (i, _) in pairs])
     lag, _ = corr_ops.xcorr_peak_lag(a, b, subsample=cfg.subsample_interp)
     return lag
 

@@ -51,9 +51,17 @@ class CArray(NamedTuple):
 
 
 def from_complex(x) -> CArray:
-    """complex array (jax or numpy) -> CArray of float32 planes."""
+    """complex array (jax or numpy) -> CArray of float32 planes.
+
+    numpy inputs split on the HOST: TPU runtimes without complex dtypes
+    (axon) cannot evaluate jnp.real/imag on a device complex array, and
+    host-splitting also skips uploading the complex intermediate.
+    """
     if isinstance(x, CArray):
         return x
+    if isinstance(x, np.ndarray):
+        return CArray(jnp.asarray(np.real(x).astype(np.float32)),
+                      jnp.asarray(np.imag(x).astype(np.float32)))
     return CArray(jnp.real(x).astype(jnp.float32),
                   jnp.imag(x).astype(jnp.float32))
 
@@ -69,9 +77,11 @@ def to_complex(x: CArray) -> jax.Array:
 
 
 def asarray(x) -> CArray:
-    """Coerce complex/np/CArray input to CArray."""
+    """Coerce complex/np/CArray input to CArray (numpy splits host-side)."""
     if isinstance(x, CArray):
         return x
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        return from_complex(x)
     arr = jnp.asarray(x)
     if jnp.iscomplexobj(arr):
         return from_complex(arr)

@@ -182,10 +182,15 @@ def _make_kernel(precision: str):
 
 
 def _pick_freq_tile(nf: int, nprn: int, n: int) -> int:
-    """Largest tile with bounded VMEM (several (Ft,C,n2,n1) f32 pairs)."""
-    budget = 8 * (1 << 20)                 # ~8 MB for the big intermediates
+    """Largest tile with bounded VMEM (several (Ft,C,n2,n1) f32 pairs).
+
+    Measured on v5e for the GPS search (C=32, n=2048): ft=8 is the knee —
+    larger tiles re-spill the intermediates, smaller ones leave MXU calls
+    sliver-shaped.
+    """
+    budget = 16 * (1 << 20)                # intermediates' VMEM share
     per_freq = nprn * n * 4 * 6            # ~6 live (re, im) planes
-    ft = max(1, min(16, budget // max(per_freq, 1)))
+    ft = max(1, min(8, budget // max(per_freq, 1)))
     return int(ft)
 
 

@@ -177,11 +177,11 @@ def analyze_capture(paths: Sequence[str],
     td = None
     if localize and events and antenna_positions is not None \
             and len(paths) >= 2:
-        caps = [jnp.asarray(iq_ops.read_iq_file(p, convention="normalized"))
+        caps = [(iq_ops.read_iq_file(p, convention="normalized"))
                 for p in paths]
         loc = rssi.triangulate(caps, antenna_positions, cfg=cfg.rssi)
         if len(paths) >= 2:
-            caps_c = [jnp.asarray(iq_ops.read_iq_file(p,
+            caps_c = [(iq_ops.read_iq_file(p,
                                                       convention="centered"))
                       for p in paths]
             try:
