@@ -334,6 +334,20 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_benchmark(args) -> int:
+    """Single-chip flagship throughput and/or weak-scaling sweep."""
+    from .runtime import benchmarks
+    out = {}
+    if not args.no_single:
+        out["single_chip"] = benchmarks.single_chip()
+    if args.scaling:
+        counts = [int(v) for v in args.scaling.split(",")]
+        out["weak_scaling"] = benchmarks.weak_scaling(
+            counts, platform=args.platform)
+    print(json.dumps(out, default=_np_default, indent=2))
+    return 0
+
+
 def _np_default(o):
     if isinstance(o, (np.integer,)):
         return int(o)
@@ -454,6 +468,16 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("--ref-hgt", type=float)
     an.add_argument("--out", help="write table here (.xlsx or .csv)")
     an.set_defaults(fn=cmd_analyze)
+
+    bm = sub.add_parser("benchmark",
+                        help="flagship throughput + weak scaling")
+    bm.add_argument("--scaling", help="comma device counts, e.g. 1,2,4,8 "
+                    "(virtual CPU mesh unless --platform tpu)")
+    bm.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                    help="backend for the scaling meshes")
+    bm.add_argument("--no-single", action="store_true",
+                    help="skip the single-chip flagship measurement")
+    bm.set_defaults(fn=cmd_benchmark)
     return p
 
 
