@@ -334,6 +334,28 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Capture facts: sample count, duration, value range (the sample
+    counter of app/test.py plus basic ADC sanity)."""
+    import os
+    rows = []
+    for path in args.files:
+        size = os.path.getsize(path)
+        n = size // 2
+        head = np.fromfile(path, dtype=np.uint8, count=min(size, 1 << 22))
+        rows.append({
+            "file": path, "bytes": size, "iq_samples": n,
+            "duration_s": round(n / args.sample_rate, 3),
+            "value_min": int(head.min()) if head.size else None,
+            "value_max": int(head.max()) if head.size else None,
+            "value_mean": round(float(head.mean()), 2) if head.size else None,
+            "clipping_frac": round(float(np.mean((head == 0)
+                                                 | (head == 255))), 6)
+            if head.size else None})
+    print(json.dumps(rows, indent=2))
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Single-chip flagship throughput and/or weak-scaling sweep."""
     from .runtime import benchmarks
@@ -478,6 +500,11 @@ def build_parser() -> argparse.ArgumentParser:
     bm.add_argument("--no-single", action="store_true",
                     help="skip the single-chip flagship measurement")
     bm.set_defaults(fn=cmd_benchmark)
+
+    inf = sub.add_parser("info", help="capture file facts (sample counter)")
+    inf.add_argument("files", nargs="+")
+    inf.add_argument("--sample-rate", type=float, default=2.048e6)
+    inf.set_defaults(fn=cmd_info)
     return p
 
 
