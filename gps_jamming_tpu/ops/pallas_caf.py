@@ -290,3 +290,273 @@ def caf_accumulate_fused(blocks, replica_fft_conj, freqs,
     # t = n1*t2 + t1 is the natural minor flatten of (n2, n1).
     out = jnp.transpose(out, (1, 0, 3, 2)).reshape(nprn, nfp, n)
     return out[:, :nf]
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel: lane-resident layout.
+#
+# Profiling the v1 kernel on v5e showed its cost is linear in (n_prn x
+# n_freq) with bf16 operands giving no speedup — i.e. it is NOT MXU-flop
+# bound. The culprit is layout: v1 carries the big (freq_tile, C, ., .)
+# tensors through the replica product / inverse stage A / twiddle section
+# with a minor dimension of n1 (16 for the GPS 2048-lag search). TPU vregs
+# are 8x128; a minor dim of 16 wastes 7/8 of every lane AND makes the k=16
+# stage-A matmuls 8x-padded MXU slivers.
+#
+# v2 picks the dual decimation  t = t2 + n2*t1,  k = k1 + n1*k2  (n2 a lane
+# multiple, n1 a power-of-two divisor of 128) so that every tensor that
+# scales with (freq x PRN) keeps a minor dimension of n2 >= 128:
+#
+#   mix:     m[f, t1, t2]   = x[t1, t2] * osc[f, t1, t2]        (natural
+#            reshape of both: t = t2 + n2*t1 is row-major order)
+#   fwd 1:   U[f, k1, t2]   = sum_t1 W_n1^{t1 k1} m[f, t1, t2]
+#            == (I_ft (x) W1^T) @ m_flat          one (ft*n1, ft*n1) matmul
+#   fwd tw:  V = U * W_n^{k1 t2}                                (n1, n2) tbl
+#   fwd 2:   M[f, k1, k2]   = sum_t2 V[f, k1, t2] W_n2^{t2 k2}  full-k mm
+#   product: P[f, c, k1, k2] = M * rep[c, k1, k2]               minor n2
+#   inv 1:   Q[f, c, k1, t2] = sum_k2 P W_n2^{-k2 t2}           full-k mm
+#            (the C-heavy matmul — now k = n2 >= 128, full MXU)
+#   inv tw:  R = Q * W_n^{-k1 t2}
+#   inv 2:   y[f, c, t1, t2] = sum_k1 R W_n1^{-k1 t1} / n
+#            swap -> (.., t2, k1), (n1, n1) matmul, swap back; power; acc.
+#
+# Only inv 2 needs (two) minor-dim swaps of a big tensor and one (n1, n1)
+# sliver matmul (a row-grouped block-diagonal (128, 128) formulation would
+# remove the sliver, but Mosaic cannot shape-cast the minor 16 -> 128 row
+# merge); everything else — in particular the replica product, the C-heavy
+# inverse-1 matmul, and both twiddles — is lane-resident with full-width
+# contractions. The lag comes out in natural order: t = t2 + n2*t1.
+# ---------------------------------------------------------------------------
+
+
+def factorization_v2(n: int) -> tuple[int, int] | None:
+    """(n1, n2): n1 the largest power-of-two divisor of 128 with n2 = n/n1 a
+    multiple of 128. Minimizing n2 minimizes inv-1 matmul FLOPs (ft*C*n*n2)."""
+    for n1 in (128, 64, 32, 16, 8, 4, 2, 1):
+        if n % n1 == 0 and (n // n1) % _LANE == 0:
+            return n1, n // n1
+    return None
+
+
+def supported_v2(n: int) -> bool:
+    return factorization_v2(n) is not None
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_consts_v2(n: int, freq_tile: int) -> dict:
+    n1, n2 = factorization_v2(n)
+    t1 = np.arange(n1)
+    k1 = np.arange(n1)
+    t2 = np.arange(n2)
+    k2 = np.arange(n2)
+
+    def cs(ang):
+        return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+    def blockdiag(mat_re, mat_im, reps):
+        eye = np.eye(reps, dtype=np.float32)
+        return np.kron(eye, mat_re), np.kron(eye, mat_im)
+
+    # fwd 1: U_flat = L1 @ m_flat, L1 = blockdiag_ft(W1^T),
+    # W1[t1, k1] = e^{-2 pi i t1 k1 / n1}
+    w1 = cs(-2.0 * np.pi * np.outer(t1, k1) / n1)
+    l1 = blockdiag(w1[0].T.copy(), w1[1].T.copy(), freq_tile)
+    t1f = cs(-2.0 * np.pi * np.outer(k1, t2) / n)            # (n1, n2) fwd tw
+    d2f = cs(-2.0 * np.pi * np.outer(t2, k2) / n2)           # (n2, n2) [t2,k2]
+    d2i = cs(+2.0 * np.pi * np.outer(k2, t2) / n2)           # (n2, n2) [k2,t2]
+    t2i = cs(+2.0 * np.pi * np.outer(k1, t2) / n)            # (n1, n2) inv tw
+    ang = +2.0 * np.pi * np.outer(k1, t1) / n1
+    b2 = (np.cos(ang).astype(np.float32) / n,
+          np.sin(ang).astype(np.float32) / n)                # [k1, t1], /n
+    return {"n1": n1, "n2": n2, "l1": l1, "t1f": t1f,
+            "d2f": d2f, "d2i": d2i, "t2i": t2i, "b2": b2}
+
+
+def permute_replica_v2(rep_re: np.ndarray, rep_im: np.ndarray,
+                       n1: int, n2: int) -> tuple[np.ndarray, np.ndarray]:
+    """(C, n) natural freq order -> (C, n1, n2) permuted k = k1 + n1*k2."""
+    c = rep_re.shape[0]
+    pr = np.ascontiguousarray(
+        rep_re.reshape(c, n2, n1).transpose(0, 2, 1), dtype=np.float32)
+    pi = np.ascontiguousarray(
+        rep_im.reshape(c, n2, n1).transpose(0, 2, 1), dtype=np.float32)
+    return pr, pi
+
+
+@functools.lru_cache(maxsize=16)
+def _osc_table_v2(freqs_key: tuple, sample_rate: float, n: int, n1: int,
+                  n2: int, pad_to: int) -> tuple[np.ndarray, np.ndarray]:
+    """Doppler phasors e^{-j 2 pi f t / fs}, natural (F, n1, n2) layout."""
+    freqs = np.asarray(freqs_key, np.float64)
+    if pad_to > freqs.shape[0]:
+        freqs = np.concatenate(
+            [freqs, np.full(pad_to - freqs.shape[0], freqs[-1])])
+    t = np.arange(n) / sample_rate
+    ang = -2.0 * np.pi * freqs[:, None] * t[None, :]
+    osc_re = np.cos(ang).astype(np.float32).reshape(-1, n1, n2)
+    osc_im = np.sin(ang).astype(np.float32).reshape(-1, n1, n2)
+    return osc_re, osc_im
+
+
+def _make_kernel_v2(precision: str, n1: int, n2: int):
+    from jax.experimental import pallas as pl
+
+    if precision == "bf16":
+        def cast(a):
+            return a.astype(jnp.bfloat16)
+    else:
+        def cast(a):
+            return a
+
+    def mm(ar, ai, br, bi):
+        """Complex matmul over the LAST axis of (.., k) against (k, m)."""
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        sh = ar.shape[:-1]
+        k = ar.shape[-1]
+        ar = cast(ar.reshape(-1, k))
+        ai = cast(ai.reshape(-1, k))
+        br, bi = cast(br), cast(bi)
+        rr = dot(ar, br) - dot(ai, bi)
+        ri = dot(ar, bi) + dot(ai, br)
+        m = br.shape[-1]
+        return rr.reshape(sh + (m,)), ri.reshape(sh + (m,))
+
+    def kernel(x_re, x_im, osc_re, osc_im, rep_re, rep_im,
+               l1r, l1i, t1fr, t1fi, d2fr, d2fi, d2ir, d2ii,
+               t2ir, t2ii, b2r, b2i, out_ref):
+        b = pl.program_id(1)
+        ft = osc_re.shape[0]
+        # Doppler mix, natural [t1, t2] layout (minor n2)
+        xr, xi = x_re[0], x_im[0]
+        mr = xr[None] * osc_re[:] - xi[None] * osc_im[:]
+        mi = xr[None] * osc_im[:] + xi[None] * osc_re[:]
+        # fwd 1: one block-diagonal left-matmul over (ft*t1)
+        ur, ui = mm(l1r[:], l1i[:],
+                    mr.reshape(ft * n1, n2), mi.reshape(ft * n1, n2))
+        ur = ur.reshape(ft, n1, n2)
+        ui = ui.reshape(ft, n1, n2)
+        # fwd twiddle [k1, t2]
+        vr = ur * t1fr[:][None] - ui * t1fi[:][None]
+        vi = ur * t1fi[:][None] + ui * t1fr[:][None]
+        # fwd 2: contract t2 (minor, full lanes) -> M[ft, k1, k2]
+        mr2, mi2 = mm(vr, vi, d2fr[:], d2fi[:])
+        # replica product, minor n2 throughout: (ft, 1, ..) x (1, C, ..)
+        pr = rep_re[:][None] * mr2[:, None] - rep_im[:][None] * mi2[:, None]
+        pi = rep_re[:][None] * mi2[:, None] + rep_im[:][None] * mr2[:, None]
+        # inv 1: contract k2 (minor, full lanes) — the C-heavy matmul
+        qr, qi = mm(pr, pi, d2ir[:], d2ii[:])            # (ft, C, k1, t2)
+        # inv twiddle [k1, t2]
+        rr = qr * t2ir[:][None, None] - qi * t2ii[:][None, None]
+        ri = qr * t2ii[:][None, None] + qi * t2ir[:][None, None]
+        # inv 2: swap to [t2, k1], contract k1 (n1-wide), swap back.
+        # (A row-grouped (I_g (x) W1i) full-width matmul would be ideal, but
+        # Mosaic cannot shape-cast the minor dim 16 -> 128 merge; the (n1,n1)
+        # matmul is the one remaining sliver — everything C-scaled and
+        # elementwise is already lane-resident.)
+        sr = jnp.swapaxes(rr, -1, -2)                    # (ft, C, t2, k1)
+        si = jnp.swapaxes(ri, -1, -2)
+        yr, yi = mm(sr, si, b2r[:], b2i[:])              # (ft, C, t2, t1)
+        yr = jnp.swapaxes(yr, -1, -2)                    # (ft, C, t1, t2)
+        yi = jnp.swapaxes(yi, -1, -2)
+        p = yr * yr + yi * yi                            # (ft, C, t1, t2)
+
+        @pl.when(b == 0)
+        def _():
+            out_ref[:] = p
+
+        @pl.when(b != 0)
+        def _():
+            out_ref[:] = out_ref[:] + p
+
+    return kernel
+
+
+def caf_accumulate_fused_v2(blocks, replica_fft_conj, freqs,
+                            sample_rate: float, *,
+                            precision: str = "f32",
+                            freq_tile: int | None = None,
+                            interpret: bool | None = None) -> jax.Array:
+    """Lane-resident variant of `caf_accumulate_fused` (see module notes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = cplx.asarray(blocks)
+    nb, n = x.shape
+    n1, n2 = factorization_v2(n)
+
+    rep = replica_fft_conj
+    if not isinstance(rep, cplx.CArray):
+        rep = cplx.asarray(rep)
+    rep_re = np.asarray(rep.re, np.float32)
+    rep_im = np.asarray(rep.im, np.float32)
+    nprn = rep_re.shape[0]
+    prr, pri = permute_replica_v2(rep_re, rep_im, n1, n2)
+
+    freqs_np = np.asarray(freqs, np.float64).reshape(-1)
+    nf = freqs_np.shape[0]
+    if freq_tile is None:
+        freq_tile = _pick_freq_tile(nf, nprn, n)
+    nfp = -(-nf // freq_tile) * freq_tile
+    k = _dft_consts_v2(n, freq_tile)
+    osc_re, osc_im = _osc_table_v2(tuple(freqs_np.tolist()),
+                                   float(sample_rate), n, n1, n2, nfp)
+
+    x3 = cplx.apply(lambda a: a.reshape(nb, n1, n2), x)
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    kern = _make_kernel_v2(precision, n1, n2)
+
+    def spec(shape, index_map):
+        return pl.BlockSpec(shape, index_map)
+
+    ft = freq_tile
+    in_specs = [
+        spec((1, n1, n2), lambda f, b: (b, 0, 0)),       # x re
+        spec((1, n1, n2), lambda f, b: (b, 0, 0)),       # x im
+        spec((ft, n1, n2), lambda f, b: (f, 0, 0)),      # osc re
+        spec((ft, n1, n2), lambda f, b: (f, 0, 0)),      # osc im
+        spec((nprn, n1, n2), lambda f, b: (0, 0, 0)),    # rep re
+        spec((nprn, n1, n2), lambda f, b: (0, 0, 0)),    # rep im
+        spec((ft * n1, ft * n1), lambda f, b: (0, 0)),   # L1
+        spec((ft * n1, ft * n1), lambda f, b: (0, 0)),
+        spec((n1, n2), lambda f, b: (0, 0)),             # fwd twiddle
+        spec((n1, n2), lambda f, b: (0, 0)),
+        spec((n2, n2), lambda f, b: (0, 0)),             # d2 fwd
+        spec((n2, n2), lambda f, b: (0, 0)),
+        spec((n2, n2), lambda f, b: (0, 0)),             # d2 inv
+        spec((n2, n2), lambda f, b: (0, 0)),
+        spec((n1, n2), lambda f, b: (0, 0)),             # inv twiddle
+        spec((n1, n2), lambda f, b: (0, 0)),
+        spec((n1, n1), lambda f, b: (0, 0)),             # W1 inverse (/n)
+        spec((n1, n1), lambda f, b: (0, 0)),
+    ]
+    out_spec = spec((ft, nprn, n1, n2), lambda f, b: (f, 0, 0, 0))
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        kern,
+        grid=(nfp // ft, nb),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nfp, nprn, n1, n2), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(x3.re, x3.im,
+      jnp.asarray(osc_re), jnp.asarray(osc_im),
+      jnp.asarray(prr), jnp.asarray(pri),
+      jnp.asarray(k["l1"][0]), jnp.asarray(k["l1"][1]),
+      jnp.asarray(k["t1f"][0]), jnp.asarray(k["t1f"][1]),
+      jnp.asarray(k["d2f"][0]), jnp.asarray(k["d2f"][1]),
+      jnp.asarray(k["d2i"][0]), jnp.asarray(k["d2i"][1]),
+      jnp.asarray(k["t2i"][0]), jnp.asarray(k["t2i"][1]),
+      jnp.asarray(k["b2"][0]), jnp.asarray(k["b2"][1]))
+
+    # (Fp, C, t1, t2) -> (C, F, t1, t2) -> (C, F, n): the lag t = t2 + n2*t1
+    # is the natural row-major flatten of (t1, t2) — major-axis transpose only.
+    out = jnp.transpose(out, (1, 0, 2, 3)).reshape(nprn, nfp, n)
+    return out[:, :nf]
