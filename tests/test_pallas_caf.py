@@ -91,3 +91,50 @@ def test_fused_peak_detection_parity():
         x, rep, freqs, FS, freq_tile=2, interpret=True))
     c, f, lag = np.unravel_index(np.argmax(surf), surf.shape)
     assert (c, freqs[f], lag) == (prn, true_f, true_lag)
+
+
+def test_factorization_v2():
+    assert pallas_caf.factorization_v2(2048) == (16, 128)
+    assert pallas_caf.factorization_v2(256) == (2, 128)
+    assert pallas_caf.factorization_v2(128) == (1, 128)
+    assert pallas_caf.factorization_v2(10000) is None
+    assert pallas_caf.supported_v2(4096)
+
+
+@pytest.mark.parametrize("freq_tile", [1, 2, 4])
+def test_fused_v2_matches_xla(freq_tile):
+    x, rep, freqs = _case(n=256, n_blocks=3, n_prn=4, n_freq=5)
+    ref = _xla_ref(x, rep, freqs)
+    got = np.asarray(pallas_caf.caf_accumulate_fused_v2(
+        x, rep, freqs, FS, freq_tile=freq_tile, interpret=True))
+    assert got.shape == ref.shape == (4, 5, 256)
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 1e-4
+
+
+def test_fused_v2_padding_slices_extra_bins():
+    x, rep, freqs = _case(n=256, n_blocks=2, n_prn=3, n_freq=5, seed=1)
+    ref = _xla_ref(x, rep, freqs)
+    got = np.asarray(pallas_caf.caf_accumulate_fused_v2(
+        x, rep, freqs, FS, freq_tile=4, interpret=True))
+    assert got.shape == (3, 5, 256)
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 1e-4
+
+
+def test_fused_v2_bf16_close():
+    x, rep, freqs = _case(n=256, n_blocks=2, n_prn=3, n_freq=3, seed=2)
+    ref = _xla_ref(x, rep, freqs)
+    got = np.asarray(pallas_caf.caf_accumulate_fused_v2(
+        x, rep, freqs, FS, precision="bf16", freq_tile=1, interpret=True))
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 0.05
+
+
+def test_acq_precision_setter_validates():
+    assert caf.ACQ_FUSED_PRECISION in ("f32", "bf16")
+    prev = caf.ACQ_FUSED_PRECISION
+    try:
+        caf.set_acq_precision("f32")
+        assert caf.ACQ_FUSED_PRECISION == "f32"
+        with pytest.raises(ValueError):
+            caf.set_acq_precision("fp8")
+    finally:
+        caf.set_acq_precision(prev)
