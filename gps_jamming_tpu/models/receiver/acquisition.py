@@ -64,15 +64,19 @@ def sbas_replica_table_host(sample_rate: float, n_samples: int):
 def acquire_all(blocks, replica_fft_conj,
                 sample_rate: float, cfg: AcquisitionConfig,
                 code_period_s: float = C.GPS_CA_PERIOD_S,
-                code_len_chips: float = 1023.0) -> AcquisitionResult:
+                code_len_chips: float = 1023.0,
+                precision: str | None = None) -> AcquisitionResult:
     """Acquire every PRN from `n_integration` code-period blocks.
 
     blocks: (n_intg, n_samples) complex or CArray baseband, one code period
     each. replica_fft_conj: (n_prn, n_samples) complex or CArray.
+    precision: static operand-precision override for the fused CAF kernel
+    (None -> `ops.caf.ACQ_FUSED_PRECISION` policy).
     """
     freqs = caf_ops.doppler_bins(cfg.doppler_max_hz, cfg.doppler_step_hz)
     surf = caf_ops.caf_accumulate(blocks, replica_fft_conj, freqs,
-                                  sample_rate)           # (n_prn, n_f, n)
+                                  sample_rate,
+                                  precision=precision)   # (n_prn, n_f, n)
     freqs = jnp.asarray(freqs)
     return acquisition_test(surf, freqs, sample_rate, cfg, code_period_s,
                             code_len_chips)
@@ -115,11 +119,11 @@ def acquisition_test(surf: jax.Array, freqs: jax.Array, sample_rate: float,
 
 
 @functools.partial(jax.jit, static_argnames=("sample_rate", "cfg",
-                                             "code_period_s"))
+                                             "code_period_s", "precision"))
 def acquire_all_jit(blocks, replica_fft_conj, sample_rate, cfg,
-                    code_period_s=C.GPS_CA_PERIOD_S):
+                    code_period_s=C.GPS_CA_PERIOD_S, precision=None):
     return acquire_all(blocks, replica_fft_conj, sample_rate, cfg,
-                       code_period_s)
+                       code_period_s, precision=precision)
 
 
 def refine_doppler(xp, code_table: np.ndarray, lag_samples, doppler_hz,

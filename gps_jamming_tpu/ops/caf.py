@@ -67,24 +67,74 @@ def caf_surface(x, replica_fft_conj, freqs: jax.Array,
     return fftcore.ifft_power_p(prod)
 
 
-# Operand precision for the fused acquisition kernel. bf16 operands run the
-# MXU at native rate (an f32 matmul costs 6 bf16 passes -> measured 7x kernel
-# speedup on v5e); the CAF is a noncoherent POWER surface consumed by a
-# peak-ratio >= 3.0 test (sdracq.c:52-81) and a ~3-digit operand mantissa
-# perturbs the peak by <0.1 dB — far below the noise floor that sets the
-# detection threshold. Set to "f32" for bit-level surface comparisons.
-ACQ_FUSED_PRECISION = "bf16"
+# Operand precision policy for the fused acquisition kernels.
+#
+# "auto" resolves per dispatched kernel:
+#   - the lane-resident v2 kernel (`pallas_caf.caf_accumulate_fused_v2`) is
+#     MXU-flop bound, and bf16 operands run the MXU at native rate — measured
+#     7x kernel speedup on v5e. The CAF is a noncoherent POWER surface
+#     consumed by a peak-ratio >= 3.0 test (sdracq.c:52-81); a ~3-digit
+#     operand mantissa perturbs the peak by <0.1 dB, far below the noise
+#     floor that sets the detection threshold. auto -> bf16.
+#   - the v1 kernel (fallback for sizes v2 cannot factor) is layout-bound:
+#     bf16 operands give no speedup there, so auto -> f32 (no accuracy loss
+#     for no gain).
+#   - if the user pinned `fftcore.set_precision(...)`, that choice governs
+#     the fused path too (one knob: `ops.set_compute_precision` sets both).
+#
+# An explicit `precision=` argument to `caf_accumulate` overrides everything
+# (it is a static/trace-time choice — see `set_acq_precision` note).
+ACQ_FUSED_PRECISION = "auto"
 
 
 def set_acq_precision(name: str) -> None:
+    """Set the fused-acquisition precision policy: 'auto', 'f32' or 'bf16'.
+
+    NOTE: this module global is read at TRACE time by jitted callers
+    (e.g. `acquire_all_jit`). Calling it after a signature has already been
+    compiled does not retrace — prefer passing `precision=` explicitly
+    through `acquire_all`/`caf_accumulate` (it is a static argument), or
+    call this before the first acquisition.
+    """
     global ACQ_FUSED_PRECISION
-    if name not in ("f32", "bf16"):
+    if name not in ("auto", "f32", "bf16"):
         raise ValueError(name)
     ACQ_FUSED_PRECISION = name
 
 
+def resolve_acq_precision(precision: str | None, kernel: str) -> str:
+    """Resolve an acquisition precision request for a given kernel
+    ('v1'/'v2'/'v3').
+
+    Explicit request > pinned fftcore precision > per-kernel auto default
+    (bf16 for the MXU-bound v2/v3, f32 for the layout-bound v1)."""
+    p = ACQ_FUSED_PRECISION if precision is None else precision
+    if p != "auto":
+        return p
+    if fftcore.precision_pinned():
+        return fftcore.get_precision()
+    return "f32" if kernel == "v1" else "bf16"
+
+
+def fused_dispatch(n: int, n_prn: int = 0) -> str | None:
+    """Which fused Pallas kernel (if any) handles block length n on TPU.
+
+    v3 (lane-merged PRN x k1 — no C-sized relayouts) when the factorization
+    allows it, else v2 (lane-resident, >= 64-wide relayouts), else v1.
+    """
+    from . import pallas_caf
+    if n_prn and pallas_caf.supported_v3(n, n_prn):
+        return "v3"
+    if pallas_caf.supported_v2(n):
+        return "v2"
+    if pallas_caf.supported(n):
+        return "v1"
+    return None
+
+
 def caf_accumulate(blocks, replica_fft_conj, freqs,
-                   sample_rate: float) -> jax.Array:
+                   sample_rate: float, *,
+                   precision: str | None = None) -> jax.Array:
     """Non-coherent accumulation of CAF power over integration blocks.
 
     blocks: (n_blocks, n). Equivalent to the reference's `intg`-fold
@@ -92,10 +142,11 @@ def caf_accumulate(blocks, replica_fft_conj, freqs,
     one batched op and summed.
 
     When running on TPU with host-resident (numpy) replica planes and
-    concrete Doppler bins, dispatches to the fused Pallas kernel
-    (`ops.pallas_caf`), which keeps the (block x PRN x Doppler) product and
-    inverse DFT in VMEM instead of materializing ~GBs in HBM, with bf16
-    operand precision (`ACQ_FUSED_PRECISION`) for native-rate MXU matmuls.
+    concrete Doppler bins, dispatches to a fused Pallas kernel
+    (`ops.pallas_caf`) that keeps the (block x PRN x Doppler) product and
+    inverse DFT in VMEM instead of materializing ~GBs in HBM — the
+    lane-resident v2 kernel when the block length factors for it, else v1.
+    `precision` (static): None -> `ACQ_FUSED_PRECISION` policy (see above).
     """
     if (jax.default_backend() == "tpu"
             and isinstance(freqs, np.ndarray)
@@ -103,10 +154,19 @@ def caf_accumulate(blocks, replica_fft_conj, freqs,
             and isinstance(replica_fft_conj.re, np.ndarray)
             and getattr(blocks, "ndim", 0) == 2):
         from . import pallas_caf
-        if pallas_caf.supported(blocks.shape[-1]):
+        kern = fused_dispatch(blocks.shape[-1], replica_fft_conj.re.shape[0])
+        if kern == "v3":
+            return pallas_caf.caf_accumulate_fused_v3(
+                blocks, replica_fft_conj, freqs, sample_rate,
+                precision=resolve_acq_precision(precision, "v3"))
+        if kern == "v2":
+            return pallas_caf.caf_accumulate_fused_v2(
+                blocks, replica_fft_conj, freqs, sample_rate,
+                precision=resolve_acq_precision(precision, "v2"))
+        if kern == "v1":
             return pallas_caf.caf_accumulate_fused(
                 blocks, replica_fft_conj, freqs, sample_rate,
-                precision=ACQ_FUSED_PRECISION)
+                precision=resolve_acq_precision(precision, "v1"))
     p = caf_surface(blocks, replica_fft_conj, freqs, sample_rate)
     return jnp.sum(p, axis=0)
 

@@ -32,6 +32,7 @@ from . import cplx
 _BACKEND = "auto"
 _MAX_SINGLE = 2048           # largest single-stage DFT matrix (n x n f32)
 _PRECISION = "f32"           # matmul operand precision on the MXU path
+_PRECISION_PINNED = False    # True once the user called set_precision()
 
 
 def set_backend(name: str) -> None:
@@ -56,14 +57,24 @@ def set_precision(name: str) -> None:
     mantissa cost <0.1 dB of CAF peak fidelity while roughly doubling
     DFT throughput; keep 'f32' when bit-level spectral accuracy matters.
     """
-    global _PRECISION
+    global _PRECISION, _PRECISION_PINNED
     if name not in ("f32", "bf16"):
         raise ValueError(name)
     _PRECISION = name
+    _PRECISION_PINNED = True
 
 
 def get_precision() -> str:
     return _PRECISION
+
+
+def precision_pinned() -> bool:
+    """True if the user explicitly chose a precision via set_precision().
+
+    A pinned choice also governs the fused Pallas acquisition path
+    (`ops.caf.resolve_acq_precision`) so that requesting 'f32' really does
+    yield bit-level-comparable surfaces everywhere."""
+    return _PRECISION_PINNED
 
 
 def _cast_operand(x):

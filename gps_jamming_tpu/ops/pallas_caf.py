@@ -329,12 +329,21 @@ def caf_accumulate_fused(blocks, replica_fft_conj, freqs,
 # ---------------------------------------------------------------------------
 
 
+_MAX_N2_V2 = 1024   # (n2, n2) DFT matrices must stay VMEM-friendly
+
+
 def factorization_v2(n: int) -> tuple[int, int] | None:
     """(n1, n2): n1 the largest power-of-two divisor of 128 with n2 = n/n1 a
-    multiple of 128. Minimizing n2 minimizes inv-1 matmul FLOPs (ft*C*n*n2)."""
+    multiple of 128. Minimizing n2 minimizes inv-1 matmul FLOPs (ft*C*n*n2).
+
+    Returns None when the best achievable n2 exceeds `_MAX_N2_V2` (the two
+    complex (n2, n2) stage matrices would blow the VMEM budget) — those
+    sizes fall back to the v1 kernel, whose n1 range is not power-of-two
+    constrained (e.g. n = 81*128)."""
     for n1 in (128, 64, 32, 16, 8, 4, 2, 1):
         if n % n1 == 0 and (n // n1) % _LANE == 0:
-            return n1, n // n1
+            n2 = n // n1
+            return (n1, n2) if n2 <= _MAX_N2_V2 else None
     return None
 
 
@@ -560,3 +569,272 @@ def caf_accumulate_fused_v2(blocks, replica_fft_conj, freqs,
     # is the natural row-major flatten of (t1, t2) — major-axis transpose only.
     out = jnp.transpose(out, (1, 0, 2, 3)).reshape(nprn, nfp, n)
     return out[:, :nf]
+
+
+# ---------------------------------------------------------------------------
+# v3 kernel: lane-merged (PRN x k1) layout.
+#
+# Ablating v2 on v5e (GPS search: C=32, n=2048, n1=16) shows its cost is NOT
+# the matmuls: mix + forward DFT + replica product + inverse stage 1 +
+# twiddle together take 0.36 ms — the two `swapaxes` around inverse stage 2
+# take ~1.9 ms. With n1=16 the swap retiles every (freq, PRN)-sized tensor
+# to a 16-wide minor dimension (7/8 of every vreg wasted, sublane/lane
+# shuffles for the whole volume), and the (n1, n1) stage-2 matmul is an
+# 8x-padded MXU sliver.
+#
+# v3 removes the swaps entirely by merging (C, k1) into ONE lane axis of
+# width C*n1 (>= 128):
+#
+#   fwd (C-free, identical to v2)      -> M[f, k1, k2]
+#   transpose M (small, C-free)        -> Mt[f, k2, k1]; tile C times over
+#                                         lanes -> (f, k2, C*n1)
+#   product against host-permuted      P[f, k2, (c,k1)] = Mt * R'
+#     replica R'[k2, (c,k1)]             (elementwise, full lanes)
+#   inv 1: LEFT matmul per freq row    Q[f] = D2i^T @ P[f]
+#     ((n2, n2) @ (n2, C*n1))            (contract k2, full lanes)
+#   inv twiddle (tiled to lanes)       R = Q * T'[t2, (c,k1)]
+#   inv 2: ONE dense matmul against    y = R @ (I_C (x) W1inv)
+#     the block-diagonal (C*n1, C*n1)    (contract (c,k1) -> (c,t1); the
+#     kron                               zeros cost C-fold FLOPs but the
+#                                        MXU runs it at full width — far
+#                                        cheaper than the v2 relayouts)
+#   power, accumulate                  out[f, t2, (c,t1)] += |y|^2
+#
+# The de-permute (F, t2, C, t1) -> (C, F, t1, t2) happens outside the kernel
+# as one XLA transpose of the final 18 MB surface.
+#
+# Applicability: C*n1 must be a lane multiple (pad C with zero replicas
+# otherwise) and the kron must stay VMEM-sized -> n1 <= 32. For n1 >= 64 the
+# v2 swaps move >= 64-wide tiles and v2 remains the better kernel.
+# ---------------------------------------------------------------------------
+
+_MAX_N1_V3 = 32
+
+
+def supported_v3(n: int, n_prn: int) -> bool:
+    f = factorization_v2(n)
+    if f is None:
+        return False
+    n1, _ = f
+    if n1 > _MAX_N1_V3:
+        return False
+    cp = _pad_prn_v3(n_prn, n1)
+    # keep the kron and the per-tile product planes VMEM-reasonable
+    return cp * n1 <= 4096
+
+
+def _pad_prn_v3(n_prn: int, n1: int) -> int:
+    """Smallest C' >= n_prn with C'*n1 a lane multiple."""
+    step = _LANE // np.gcd(_LANE, n1)
+    return -(-n_prn // step) * step
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_consts_v3(n: int, freq_tile: int, n_prn_padded: int) -> dict:
+    base = _dft_consts_v2(n, freq_tile)
+    n1, n2 = base["n1"], base["n2"]
+    cp = n_prn_padded
+    # inverse stage 1 as a LEFT matmul: Q = D2iT @ P, D2iT[t2, k2]
+    d2iT = (base["d2i"][0].T.copy(), base["d2i"][1].T.copy())
+    # inverse twiddle tiled over merged (c, k1) lanes: T'[t2, c*n1 + k1]
+    t2i_r, t2i_i = base["t2i"]                    # (n1, n2) [k1, t2]
+    ttile_r = np.ascontiguousarray(
+        np.broadcast_to(t2i_r.T[:, None, :], (n2, cp, n1)).reshape(n2, cp * n1))
+    ttile_i = np.ascontiguousarray(
+        np.broadcast_to(t2i_i.T[:, None, :], (n2, cp, n1)).reshape(n2, cp * n1))
+    # inverse stage 2 kron: G[(c,k1), (c',t1)] = delta_cc' * W1inv[k1, t1]/n
+    eye = np.eye(cp, dtype=np.float32)
+    g_r = np.kron(eye, base["b2"][0])
+    g_i = np.kron(eye, base["b2"][1])
+    return {**base, "d2iT": d2iT, "ttile": (ttile_r, ttile_i),
+            "g": (g_r, g_i), "cp": cp}
+
+
+def permute_replica_v3(rep_re: np.ndarray, rep_im: np.ndarray,
+                       n1: int, n2: int,
+                       n_prn_padded: int) -> tuple[np.ndarray, np.ndarray]:
+    """(C, n) natural freq order -> (n2, Cp*n1) lane-merged (k2, (c, k1))."""
+    c = rep_re.shape[0]
+    cp = n_prn_padded
+
+    def prep(a):
+        # (C, n) -> (C, n2, n1) [c, k2, k1] (k = k1 + n1*k2)
+        p = a.reshape(c, n2, n1)
+        if cp > c:
+            p = np.concatenate(
+                [p, np.zeros((cp - c, n2, n1), np.float32)], axis=0)
+        # -> (k2, c, k1) -> (k2, cp*n1)
+        return np.ascontiguousarray(
+            p.transpose(1, 0, 2).reshape(n2, cp * n1), dtype=np.float32)
+
+    return prep(np.asarray(rep_re, np.float32)), \
+        prep(np.asarray(rep_im, np.float32))
+
+
+def _make_kernel_v3(precision: str, n1: int, n2: int, cp: int):
+    from jax.experimental import pallas as pl
+
+    if precision == "bf16":
+        def cast(a):
+            return a.astype(jnp.bfloat16)
+    else:
+        def cast(a):
+            return a
+
+    def dot(a, b):
+        return jnp.dot(cast(a), cast(b), preferred_element_type=jnp.float32)
+
+    def kernel(x_re, x_im, osc_re, osc_im, rep_re, rep_im,
+               l1r, l1i, t1fr, t1fi, d2fr, d2fi,
+               d2iTr, d2iTi, ttr, tti, gr, gi, out_ref):
+        b = pl.program_id(1)
+        ft = osc_re.shape[0]
+        # Doppler mix + forward DFT: identical to v2 (C-free)
+        xr, xi = x_re[0], x_im[0]
+        mr = xr[None] * osc_re[:] - xi[None] * osc_im[:]
+        mi = xr[None] * osc_im[:] + xi[None] * osc_re[:]
+        ur = (dot(l1r[:], mr.reshape(ft * n1, n2))
+              - dot(l1i[:], mi.reshape(ft * n1, n2))).reshape(ft, n1, n2)
+        ui = (dot(l1r[:], mi.reshape(ft * n1, n2))
+              + dot(l1i[:], mr.reshape(ft * n1, n2))).reshape(ft, n1, n2)
+        vr = ur * t1fr[:][None] - ui * t1fi[:][None]
+        vi = ur * t1fi[:][None] + ui * t1fr[:][None]
+        m2r = (dot(vr.reshape(ft * n1, n2), d2fr[:])
+               - dot(vi.reshape(ft * n1, n2), d2fi[:])).reshape(ft, n1, n2)
+        m2i = (dot(vr.reshape(ft * n1, n2), d2fi[:])
+               + dot(vi.reshape(ft * n1, n2), d2fr[:])).reshape(ft, n1, n2)
+        # transpose the SMALL C-free spectrum and tile over merged lanes
+        mtr = jnp.tile(jnp.swapaxes(m2r, -1, -2), (1, 1, cp))  # (ft,n2,cp*n1)
+        mti = jnp.tile(jnp.swapaxes(m2i, -1, -2), (1, 1, cp))
+        # replica product, full lanes
+        pr = rep_re[:][None] * mtr - rep_im[:][None] * mti
+        pi = rep_re[:][None] * mti + rep_im[:][None] * mtr
+        # inv 1: left matmul per freq row (contract k2)
+        qs = []
+        for f in range(ft):
+            qr = dot(d2iTr[:], pr[f]) - dot(d2iTi[:], pi[f])
+            qi = dot(d2iTr[:], pi[f]) + dot(d2iTi[:], pr[f])
+            qs.append((qr, qi))
+        qr = jnp.stack([q[0] for q in qs])               # (ft, t2, cp*n1)
+        qi = jnp.stack([q[1] for q in qs])
+        # inv twiddle (tiled)
+        rr = qr * ttr[:][None] - qi * tti[:][None]
+        ri = qr * tti[:][None] + qi * ttr[:][None]
+        # inv 2: one dense matmul against the block-diagonal kron
+        rr2 = rr.reshape(ft * n2, cp * n1)
+        ri2 = ri.reshape(ft * n2, cp * n1)
+        yr = dot(rr2, gr[:]) - dot(ri2, gi[:])
+        yi = dot(rr2, gi[:]) + dot(ri2, gr[:])
+        p = (yr * yr + yi * yi).reshape(ft, n2, cp * n1)
+
+        @pl.when(b == 0)
+        def _():
+            out_ref[:] = p
+
+        @pl.when(b != 0)
+        def _():
+            out_ref[:] = out_ref[:] + p
+
+    return kernel
+
+
+def _pick_freq_tile_v3(nf: int, cp: int, n1: int, n2: int) -> int:
+    """Several (ft, n2, cp*n1) f32 plane pairs must fit in VMEM."""
+    budget = 24 * (1 << 20)
+    per_freq = cp * n1 * n2 * 4 * 8        # ~8 live planes
+    ft = max(1, min(8, budget // max(per_freq, 1)))
+    return int(ft)
+
+
+def caf_accumulate_fused_v3(blocks, replica_fft_conj, freqs,
+                            sample_rate: float, *,
+                            precision: str = "f32",
+                            freq_tile: int | None = None,
+                            interpret: bool | None = None) -> jax.Array:
+    """Lane-merged variant of `caf_accumulate_fused` (see module notes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = cplx.asarray(blocks)
+    nb, n = x.shape
+    n1, n2 = factorization_v2(n)
+
+    rep = replica_fft_conj
+    if not isinstance(rep, cplx.CArray):
+        rep = cplx.asarray(rep)
+    rep_re = np.asarray(rep.re, np.float32)
+    rep_im = np.asarray(rep.im, np.float32)
+    nprn = rep_re.shape[0]
+    cp = _pad_prn_v3(nprn, n1)
+    prr, pri = permute_replica_v3(rep_re, rep_im, n1, n2, cp)
+
+    freqs_np = np.asarray(freqs, np.float64).reshape(-1)
+    nf = freqs_np.shape[0]
+    if freq_tile is None:
+        freq_tile = _pick_freq_tile_v3(nf, cp, n1, n2)
+    nfp = -(-nf // freq_tile) * freq_tile
+    k = _dft_consts_v3(n, freq_tile, cp)
+    osc_re, osc_im = _osc_table_v2(tuple(freqs_np.tolist()),
+                                   float(sample_rate), n, n1, n2, nfp)
+
+    x3 = cplx.apply(lambda a: a.reshape(nb, n1, n2), x)
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    kern = _make_kernel_v3(precision, n1, n2, cp)
+
+    def spec(shape, index_map):
+        return pl.BlockSpec(shape, index_map)
+
+    ft = freq_tile
+    cm = cp * n1
+    in_specs = [
+        spec((1, n1, n2), lambda f, b: (b, 0, 0)),       # x re
+        spec((1, n1, n2), lambda f, b: (b, 0, 0)),       # x im
+        spec((ft, n1, n2), lambda f, b: (f, 0, 0)),      # osc re
+        spec((ft, n1, n2), lambda f, b: (f, 0, 0)),      # osc im
+        spec((n2, cm), lambda f, b: (0, 0)),             # rep' re
+        spec((n2, cm), lambda f, b: (0, 0)),             # rep' im
+        spec((ft * n1, ft * n1), lambda f, b: (0, 0)),   # L1
+        spec((ft * n1, ft * n1), lambda f, b: (0, 0)),
+        spec((n1, n2), lambda f, b: (0, 0)),             # fwd twiddle
+        spec((n1, n2), lambda f, b: (0, 0)),
+        spec((n2, n2), lambda f, b: (0, 0)),             # d2 fwd
+        spec((n2, n2), lambda f, b: (0, 0)),
+        spec((n2, n2), lambda f, b: (0, 0)),             # d2 inv (transposed)
+        spec((n2, n2), lambda f, b: (0, 0)),
+        spec((n2, cm), lambda f, b: (0, 0)),             # inv twiddle (tiled)
+        spec((n2, cm), lambda f, b: (0, 0)),
+        spec((cm, cm), lambda f, b: (0, 0)),             # kron I_C (x) W1inv
+        spec((cm, cm), lambda f, b: (0, 0)),
+    ]
+    out_spec = spec((ft, n2, cm), lambda f, b: (f, 0, 0))
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        kern,
+        grid=(nfp // ft, nb),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nfp, n2, cm), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(x3.re, x3.im,
+      jnp.asarray(osc_re), jnp.asarray(osc_im),
+      jnp.asarray(prr), jnp.asarray(pri),
+      jnp.asarray(k["l1"][0]), jnp.asarray(k["l1"][1]),
+      jnp.asarray(k["t1f"][0]), jnp.asarray(k["t1f"][1]),
+      jnp.asarray(k["d2f"][0]), jnp.asarray(k["d2f"][1]),
+      jnp.asarray(k["d2iT"][0]), jnp.asarray(k["d2iT"][1]),
+      jnp.asarray(k["ttile"][0]), jnp.asarray(k["ttile"][1]),
+      jnp.asarray(k["g"][0]), jnp.asarray(k["g"][1]))
+
+    # (Fp, t2, (c, t1)) -> (C, F, t1, t2) -> (C, F, n): t = t2 + n2*t1 is the
+    # row-major flatten of (t1, t2); the padded PRN rows are sliced off.
+    out = out.reshape(nfp, n2, cp, n1)
+    out = jnp.transpose(out, (2, 0, 3, 1)).reshape(cp, nfp, n)
+    return out[:nprn, :nf]

@@ -128,8 +128,45 @@ def test_fused_v2_bf16_close():
     assert np.max(np.abs(got - ref)) / np.max(ref) < 0.05
 
 
+@pytest.mark.parametrize("freq_tile", [1, 2, 4])
+def test_fused_v3_matches_xla(freq_tile):
+    # n=256 -> (n1=2, n2=128); n_prn=4 pads to cp=64*...: C'*2 % 128 -> 64
+    x, rep, freqs = _case(n=256, n_blocks=3, n_prn=4, n_freq=5)
+    ref = _xla_ref(x, rep, freqs)
+    got = np.asarray(pallas_caf.caf_accumulate_fused_v3(
+        x, rep, freqs, FS, freq_tile=freq_tile, interpret=True))
+    assert got.shape == ref.shape == (4, 5, 256)
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 1e-4
+
+
+def test_fused_v3_padding_slices_extra_bins_and_prns():
+    x, rep, freqs = _case(n=256, n_blocks=2, n_prn=3, n_freq=5, seed=1)
+    ref = _xla_ref(x, rep, freqs)
+    got = np.asarray(pallas_caf.caf_accumulate_fused_v3(
+        x, rep, freqs, FS, freq_tile=4, interpret=True))
+    assert got.shape == (3, 5, 256)
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 1e-4
+
+
+def test_fused_v3_bf16_close():
+    x, rep, freqs = _case(n=256, n_blocks=2, n_prn=3, n_freq=3, seed=2)
+    ref = _xla_ref(x, rep, freqs)
+    got = np.asarray(pallas_caf.caf_accumulate_fused_v3(
+        x, rep, freqs, FS, precision="bf16", freq_tile=1, interpret=True))
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 0.05
+
+
+def test_v3_prn_padding():
+    assert pallas_caf._pad_prn_v3(32, 16) == 32     # 512 lanes, exact
+    assert pallas_caf._pad_prn_v3(19, 16) == 24     # SBAS: 24*16 = 384
+    assert pallas_caf._pad_prn_v3(3, 2) == 64       # tiny C, n1=2 -> 128
+    assert pallas_caf.supported_v3(2048, 32)        # GPS search
+    assert not pallas_caf.supported_v3(16384, 36)   # Galileo: n1=128 -> v2
+    assert not pallas_caf.supported_v3(10000, 32)   # unfactorable
+
+
 def test_acq_precision_setter_validates():
-    assert caf.ACQ_FUSED_PRECISION in ("f32", "bf16")
+    assert caf.ACQ_FUSED_PRECISION in ("auto", "f32", "bf16")
     prev = caf.ACQ_FUSED_PRECISION
     try:
         caf.set_acq_precision("f32")
@@ -138,3 +175,45 @@ def test_acq_precision_setter_validates():
             caf.set_acq_precision("fp8")
     finally:
         caf.set_acq_precision(prev)
+
+
+def test_fused_dispatch_prefers_v2():
+    # GPS 2048-lag and Galileo 16384-lag searches both route to the
+    # lane-resident v2 kernel; v1 remains the fallback for v2-unfactorable
+    # sizes; unfactorable sizes fall back to the XLA path.
+    assert caf.fused_dispatch(2048, 32) == "v3"    # GPS: lane-merged
+    assert caf.fused_dispatch(2048) == "v2"        # unknown PRN count
+    assert caf.fused_dispatch(16384, 36) == "v2"   # Galileo: n1=128
+    # 81*128: v2's power-of-two n1 cannot keep n2 VMEM-sized -> v1 (n1=81)
+    assert caf.fused_dispatch(81 * 128, 32) == "v1"
+    assert caf.fused_dispatch(10000, 32) is None
+
+
+def test_resolve_acq_precision_policy():
+    from gps_jamming_tpu.ops import fftcore
+    prev = caf.ACQ_FUSED_PRECISION
+    pinned = fftcore._PRECISION_PINNED
+    prec = fftcore.get_precision()
+    try:
+        caf.set_acq_precision("auto")
+        fftcore._PRECISION_PINNED = False
+        # auto: bf16 only on the MXU-bound v2 kernel; f32 on layout-bound v1
+        assert caf.resolve_acq_precision(None, "v2") == "bf16"
+        assert caf.resolve_acq_precision(None, "v1") == "f32"
+        # explicit argument wins over everything
+        assert caf.resolve_acq_precision("f32", "v2") == "f32"
+        # a pinned fftcore precision governs the fused path too
+        fftcore.set_precision("f32")
+        assert caf.resolve_acq_precision(None, "v2") == "f32"
+        fftcore.set_precision("bf16")
+        assert caf.resolve_acq_precision(None, "v1") == "bf16"
+        # the one-knob entry point sets both policies
+        from gps_jamming_tpu import ops as ops_pkg
+        ops_pkg.set_compute_precision("f32")
+        assert caf.ACQ_FUSED_PRECISION == "f32"
+        assert fftcore.get_precision() == "f32"
+        assert caf.resolve_acq_precision(None, "v2") == "f32"
+    finally:
+        caf.set_acq_precision(prev)
+        fftcore._PRECISION = prec
+        fftcore._PRECISION_PINNED = pinned
