@@ -15,7 +15,15 @@ import time
 import numpy as np
 
 
-def _build_tpu_chain():
+def _build_tpu_chain(n_scan: int = 8):
+    """One jitted step processes `n_scan` 512k-sample blocks via lax.scan.
+
+    Per-sample WORK is identical to the single-block chain (a full cold
+    32-PRN x 71-Doppler x 10-integration acquisition runs for EVERY 512k
+    block, i.e. every 256 ms of capture); scanning several blocks per
+    dispatch only amortizes the tunneled runtime's fixed per-call latency
+    (~0.6 ms measured on axon), which is dispatch overhead, not compute.
+    """
     import jax
     import jax.numpy as jnp
     from gps_jamming_tpu.config import DEFAULT_CONFIG as CFG
@@ -25,13 +33,13 @@ def _build_tpu_chain():
     fs = CFG.frontend.sample_rate_hz
     n_code = 2048
     n_intg = 10                       # reference ACQINTG
-    n_block = 1 << 19                 # 512k samples (~256 ms) per step
+    n_block = 1 << 19                 # 512k samples (~256 ms) per block
 
     # planar path: int8 ingest, host-precomputed replica planes, MXU DFTs
     replica = acq.gps_replica_table_host(fs, n_code)
     freqs = caf.doppler_bins(7000.0, 200.0)
 
-    def forward(raw_i8):
+    def block_step(_, raw_i8):
         x = iq.int8_to_planar(raw_i8)
         psd = spectral.welch_psd_p(x, fs, 1024)
         pm = power.chunk_power_p(x, 32768)
@@ -41,15 +49,20 @@ def _build_tpu_chain():
         blocks = x[: n_intg * n_code].reshape(n_intg, n_code)
         surf = caf.caf_accumulate(blocks, replica, freqs, fs)
         peak = jnp.max(surf, axis=(-2, -1))
-        return psd, pm, flags, peak
+        return 0, (psd, pm, flags, peak)
+
+    def forward(raw_i8):
+        import jax.lax as lax
+        _, outs = lax.scan(block_step, 0, raw_i8)
+        return outs
 
     rng = np.random.default_rng(0)
-    raw_u8 = rng.integers(0, 256, 2 * n_block, dtype=np.uint8)
+    raw_u8 = rng.integers(0, 256, (n_scan, 2 * n_block), dtype=np.uint8)
     raw = jnp.asarray(iq.uint8_np_to_int8(raw_u8))
-    return jax.jit(forward), raw, n_block
+    return jax.jit(forward), raw, n_scan * n_block
 
 
-def _time_tpu(jfn, raw, n_block, n_lo=4, n_hi=132, reps=5):
+def _time_tpu(jfn, raw, n_block, n_lo=2, n_hi=34, reps=5):
     """Sustained per-step time via the two-point (slope) method.
 
     On tunneled TPU runtimes `jax.block_until_ready` does not reliably

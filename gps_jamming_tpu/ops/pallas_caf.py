@@ -352,8 +352,9 @@ def supported_v2(n: int) -> bool:
 
 
 @functools.lru_cache(maxsize=16)
-def _dft_consts_v2(n: int, freq_tile: int) -> dict:
-    n1, n2 = factorization_v2(n)
+def _dft_consts_v2(n: int, freq_tile: int,
+                   fact: tuple[int, int] | None = None) -> dict:
+    n1, n2 = factorization_v2(n) if fact is None else fact
     t1 = np.arange(n1)
     k1 = np.arange(n1)
     t2 = np.arange(n2)
@@ -615,13 +616,26 @@ def caf_accumulate_fused_v2(blocks, replica_fft_conj, freqs,
 _MAX_N1_V3 = 32
 
 
+def factorization_v3(n: int) -> tuple[int, int] | None:
+    """(n1, n2) for the lane-merged kernel: n1 the largest power-of-two
+    <= _MAX_N1_V3 with n2 = n/n1 a lane multiple within the VMEM cap.
+
+    Searched independently of `factorization_v2` because v2's greedy pick can
+    exceed v3's n1 cap while a smaller-n1 split still qualifies (e.g.
+    n = 16384: v2 picks (128, 128); v3 uses (32, 512) — the Galileo E1B
+    10 ms coherent block at 2 samples/chip)."""
+    for n1 in (32, 16, 8, 4, 2, 1):
+        if n % n1 == 0 and (n // n1) % _LANE == 0:
+            n2 = n // n1
+            return (n1, n2) if n2 <= _MAX_N2_V2 else None
+    return None
+
+
 def supported_v3(n: int, n_prn: int) -> bool:
-    f = factorization_v2(n)
+    f = factorization_v3(n)
     if f is None:
         return False
     n1, _ = f
-    if n1 > _MAX_N1_V3:
-        return False
     cp = _pad_prn_v3(n_prn, n1)
     # keep the kron and the per-tile product planes VMEM-reasonable
     return cp * n1 <= 4096
@@ -635,7 +649,7 @@ def _pad_prn_v3(n_prn: int, n1: int) -> int:
 
 @functools.lru_cache(maxsize=16)
 def _dft_consts_v3(n: int, freq_tile: int, n_prn_padded: int) -> dict:
-    base = _dft_consts_v2(n, freq_tile)
+    base = _dft_consts_v2(n, freq_tile, factorization_v3(n))
     n1, n2 = base["n1"], base["n2"]
     cp = n_prn_padded
     # inverse stage 1 as a LEFT matmul: Q = D2iT @ P, D2iT[t2, k2]
@@ -773,7 +787,7 @@ def caf_accumulate_fused_v3(blocks, replica_fft_conj, freqs,
 
     x = cplx.asarray(blocks)
     nb, n = x.shape
-    n1, n2 = factorization_v2(n)
+    n1, n2 = factorization_v3(n)
 
     rep = replica_fft_conj
     if not isinstance(rep, cplx.CArray):

@@ -161,8 +161,29 @@ def test_v3_prn_padding():
     assert pallas_caf._pad_prn_v3(19, 16) == 24     # SBAS: 24*16 = 384
     assert pallas_caf._pad_prn_v3(3, 2) == 64       # tiny C, n1=2 -> 128
     assert pallas_caf.supported_v3(2048, 32)        # GPS search
-    assert not pallas_caf.supported_v3(16384, 36)   # Galileo: n1=128 -> v2
+    assert pallas_caf.supported_v3(16384, 36)       # Galileo: v3 (32, 512)
     assert not pallas_caf.supported_v3(10000, 32)   # unfactorable
+
+
+def test_factorization_v3_overrides_v2_greedy_pick():
+    # v2 minimizes n2 greedily (n1 up to 128); v3 caps n1 at 32 but searches
+    # its own split instead of rejecting sizes where v2's pick is too wide.
+    assert pallas_caf.factorization_v2(16384) == (128, 128)
+    assert pallas_caf.factorization_v3(16384) == (32, 512)
+    assert pallas_caf.factorization_v2(8192) == (64, 128)
+    assert pallas_caf.factorization_v3(8192) == (32, 256)
+    assert pallas_caf.factorization_v3(2048) == (16, 128)   # == v2
+    assert pallas_caf.factorization_v3(10000) is None
+
+
+def test_fused_v3_large_n1_override_matches_xla():
+    # n=8192: exercises the v3-specific (32, 256) split (v2 would use 64x128)
+    x, rep, freqs = _case(n=8192, n_blocks=1, n_prn=3, n_freq=2, seed=4)
+    ref = _xla_ref(x, rep, freqs)
+    got = np.asarray(pallas_caf.caf_accumulate_fused_v3(
+        x, rep, freqs, FS, freq_tile=1, interpret=True))
+    assert got.shape == ref.shape == (3, 2, 8192)
+    assert np.max(np.abs(got - ref)) / np.max(ref) < 1e-4
 
 
 def test_acq_precision_setter_validates():
@@ -177,13 +198,14 @@ def test_acq_precision_setter_validates():
         caf.set_acq_precision(prev)
 
 
-def test_fused_dispatch_prefers_v2():
+def test_fused_dispatch_prefers_v3():
     # GPS 2048-lag and Galileo 16384-lag searches both route to the
-    # lane-resident v2 kernel; v1 remains the fallback for v2-unfactorable
-    # sizes; unfactorable sizes fall back to the XLA path.
+    # lane-merged v3 kernel; v2 handles a known-size search with unknown PRN
+    # count; v1 remains the fallback for v2-unfactorable sizes; unfactorable
+    # sizes fall back to the XLA path.
     assert caf.fused_dispatch(2048, 32) == "v3"    # GPS: lane-merged
     assert caf.fused_dispatch(2048) == "v2"        # unknown PRN count
-    assert caf.fused_dispatch(16384, 36) == "v2"   # Galileo: n1=128
+    assert caf.fused_dispatch(16384, 36) == "v3"   # Galileo: v3 (32, 512)
     # 81*128: v2's power-of-two n1 cannot keep n2 VMEM-sized -> v1 (n1=81)
     assert caf.fused_dispatch(81 * 128, 32) == "v1"
     assert caf.fused_dispatch(10000, 32) is None
