@@ -13,7 +13,11 @@ The multi-chip formulation of the detection/localization chain (SURVEY.md
   HTTP fan-in of per-receiver telemetry (sdrout.c:10-57) with an ICI
   collective.
 
-All entry points are shard_map-under-jit over an explicit Mesh.
+All entry points are shard_map-under-jit over an explicit Mesh, and the
+device math is planar-complex (ops.cplx.CArray) through ops.fftcore — the
+same MXU-matmul DFT path as the single-chip kernels — so the sharded
+pipeline runs on TPU runtimes without a complex dtype or FFT HLO. Complex
+inputs are split into (re, im) planes at the host edge.
 """
 from __future__ import annotations
 
@@ -25,13 +29,15 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import DetectorConfig, SpectralConfig
+from ..ops import cplx, fftcore
 from ..ops import power as power_ops
 from ..ops import spectral
+from ..ops.iq import frame, remove_dc
 from . import halo
 from .mesh import ANTENNA_AXIS, TIME_AXIS
 
 
-def _welch_partial(block, sample_rate, nperseg, overlap_frac):
+def _welch_partial(block: cplx.CArray, sample_rate, nperseg, overlap_frac):
     """Per-shard Welch: segment sum + count (so shard means combine exactly).
 
     Welch with hop h over a block of length L yields 1+(L-nperseg)//h
@@ -40,20 +46,21 @@ def _welch_partial(block, sample_rate, nperseg, overlap_frac):
     """
     hop = int(nperseg * (1.0 - overlap_frac))
     win = jnp.asarray(spectral._hann(nperseg))
-    from ..ops.iq import frame, remove_dc
-    segs = frame(block, nperseg, hop)
-    segs = remove_dc(segs, axis=-1)
-    segs = segs * win
-    sp = jnp.fft.fft(segs, axis=-1)
-    p = jnp.real(sp) ** 2 + jnp.imag(sp) ** 2
+    segs = cplx.apply(lambda a: frame(a, nperseg, hop), block)
+    segs = cplx.apply(lambda a: remove_dc(a, axis=-1), segs)
+    segs = cplx.CArray(segs.re * win, segs.im * win)
+    p = fftcore.fft_power_p(segs)
     scale = 1.0 / (sample_rate * jnp.sum(win * win))
     return jnp.sum(p, axis=-2) * scale, p.shape[-2]
 
 
-def sharded_psd_and_power(blocks: jax.Array, mesh, sample_rate: float,
+def sharded_psd_and_power(blocks, mesh, sample_rate: float,
                           det_cfg: DetectorConfig,
                           spec_cfg: SpectralConfig):
     """Fused sharded pipeline over a (n_antenna, n_blocks, block_len) capture.
+
+    `blocks` may be a complex array (split to planes at the host edge) or a
+    planar cplx.CArray of (re, im) float32 planes (the TPU-native input).
 
     Returns:
       psd_fused: (nperseg,) antenna-mean, time-mean Welch PSD (replicated);
@@ -63,11 +70,13 @@ def sharded_psd_and_power(blocks: jax.Array, mesh, sample_rate: float,
     nperseg = spec_cfg.nperseg
     hop = int(nperseg * (1.0 - spec_cfg.overlap_frac))
     chunk = det_cfg.power_chunk_samples
+    xp = cplx.asarray(blocks)
 
-    def kernel(local):                       # local: (1, blocks/shard, L)
-        x = local.reshape(local.shape[0], -1)         # concat local blocks
+    def kernel(local: cplx.CArray):          # local: (1, blocks/shard, L)
+        x = local.reshape(local.shape[0], -1)          # concat local blocks
         # --- PSD with halo so segments straddling shard edges are kept ---
-        xh = halo.halo_from_next(x, nperseg - hop)
+        xh = cplx.apply(
+            lambda a: halo.halo_from_next(a, nperseg - hop), x)
         psum_seg, nseg = _welch_partial(xh, sample_rate, nperseg,
                                         spec_cfg.overlap_frac)
         # drop the zero-padded tail contribution on the LAST shard: its halo
@@ -92,7 +101,7 @@ def sharded_psd_and_power(blocks: jax.Array, mesh, sample_rate: float,
         psd_fused = (jax.lax.psum(psd_ant, ANTENNA_AXIS) / n_ant)[0]
 
         # --- chunk power profile, gathered along time ---
-        pm_local = power_ops.chunk_power(x, chunk)     # (1, chunks/shard)
+        pm_local = power_ops.chunk_power_p(x, chunk)   # (1, chunks/shard)
         pm_full = jax.lax.all_gather(pm_local, TIME_AXIS, axis=-1, tiled=True)
         return psd_fused, psd_ant, pm_full
 
@@ -102,7 +111,7 @@ def sharded_psd_and_power(blocks: jax.Array, mesh, sample_rate: float,
         out_specs=(P(), P(ANTENNA_AXIS, None), P(ANTENNA_AXIS, None)),
         check_vma=False,
     )
-    psd_fused, psd_ant, pm = jax.jit(f)(blocks)
+    psd_fused, psd_ant, pm = jax.jit(f)(xp)
     return psd_fused, psd_ant, pm
 
 

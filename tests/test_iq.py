@@ -62,3 +62,38 @@ def test_pad_to_multiple():
     y = iq.pad_to_multiple(x, 8)
     assert y.shape == (3, 16)
     assert float(y[0, 12]) == 0.0
+
+
+def test_int8_to_planar_mxu_path(rng):
+    # 2n a multiple of 256 -> MXU matmul deinterleave path
+    raw = _raw(rng, n=1024)
+    x8 = iq.uint8_np_to_int8(raw.copy())
+    want = raw.astype(np.float32) - 127.5
+    for conv, tf in [("centered", lambda v: v),
+                     ("normalized", lambda v: v / 127.5),
+                     ("int8", lambda v: np.floor(v))]:
+        got = iq.int8_to_planar(jnp.asarray(x8), convention=conv)
+        w = tf(want) if conv != "int8" else (want - 0.5)
+        np.testing.assert_allclose(np.asarray(got.re), w[0::2], rtol=0,
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got.im), w[1::2], rtol=0,
+                                   atol=1e-6)
+
+
+def test_int8_to_planar_fallback_path(rng):
+    # 2n NOT a multiple of 256 -> bitcast fallback; must agree with MXU path
+    raw = _raw(rng, n=100)
+    x8 = iq.uint8_np_to_int8(raw.copy())
+    got = iq.int8_to_planar(jnp.asarray(x8))
+    want = raw.astype(np.float32) - 127.5
+    np.testing.assert_array_equal(np.asarray(got.re), want[0::2])
+    np.testing.assert_array_equal(np.asarray(got.im), want[1::2])
+
+
+def test_int8_to_planar_batched(rng):
+    raw = rng.integers(0, 256, size=(3, 2 * 512), dtype=np.uint8)
+    x8 = iq.uint8_np_to_int8(raw.copy())
+    got = iq.int8_to_planar(jnp.asarray(x8))
+    want = raw.astype(np.float32) - 127.5
+    np.testing.assert_array_equal(np.asarray(got.re), want[:, 0::2])
+    np.testing.assert_array_equal(np.asarray(got.im), want[:, 1::2])
