@@ -6,12 +6,14 @@ and tracking reuse the generic CAF / scan-tracker kernels with the E1B
 parameters (4092-chip primary code, BOC(1,1) -> 8184 half-chips at
 2.046 Mcps, 4 ms period); this module provides the codes and the bit layer.
 
-Memory codes: the true E1B codes are ICD data tables (the reference embeds
-them as hex blobs). This framework loads them from an external hex file
-when available (`load_icd_codes`) and otherwise uses deterministic
-per-PRN synthetic codes with the same length/balance statistics — the
-entire chain (sim -> acquire -> track -> decode) round-trips on either
-table; real-capture processing requires the ICD table file.
+Memory codes: the true E1B primary codes are ICD data tables (Galileo OS
+SIS ICD Annex C; the reference embeds them as hex blobs in
+`sdrcode.c:424-490`, 50 PRNs x 4092 chips). This framework ships them as
+packed bits in `data/e1b_primary_codes.npz` and uses them by default, so
+real E1B captures are processable out of the box. `load_icd_codes` can
+override individual PRNs from an external hex file;
+`synthetic_e1b_code` provides the old deterministic per-PRN placeholder
+for adversarial tests that must NOT share the real table.
 
 I/NAV nominal page (ICD 4.3.2): per 1 s half-page, 120 bits (114 info +
 6 tail) -> K=7 r=1/2 convolutional encode with inverted G2 (utils.fec) ->
@@ -42,6 +44,23 @@ BOC_RATE = 2.046e6
 PERIOD_S = C.GAL_E1B_PERIOD_S                  # 4 ms
 
 _ICD_CODES: dict[int, np.ndarray] = {}
+_ICD_TABLE: np.ndarray | None = None     # (50, 4092) int8 +/-1, lazy
+
+
+def _icd_table() -> np.ndarray:
+    """The shipped ICD primary-code table, (50, 4092) chips in +/-1.
+
+    Bit->chip mapping is the standard logical 0 -> +1 (the half-page sync
+    match in decode_half_page is polarity-agnostic, so the reference's
+    inverted convention decodes identically)."""
+    global _ICD_TABLE
+    if _ICD_TABLE is None:
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            "e1b_primary_codes.npz")
+        with np.load(path) as z:
+            bits = np.unpackbits(z["packed"], axis=1)[:, :int(z["n_chips"])]
+        _ICD_TABLE = (1 - 2 * bits.astype(np.int8))
+    return _ICD_TABLE
 
 
 def load_icd_codes(path: str) -> int:
@@ -63,10 +82,17 @@ def load_icd_codes(path: str) -> int:
 
 
 def e1b_code(prn: int) -> np.ndarray:
-    """E1B primary code, +/-1 int8 length 4092. ICD table if loaded,
-    else a deterministic synthetic memory code for PRN (balanced)."""
+    """E1B primary code, +/-1 int8 length 4092: the real ICD memory code
+    (per-PRN `load_icd_codes` overrides win over the shipped table)."""
     if prn in _ICD_CODES:
         return _ICD_CODES[prn]
+    return _icd_table()[prn - 1]
+
+
+def synthetic_e1b_code(prn: int) -> np.ndarray:
+    """Deterministic balanced placeholder code (NOT the ICD sequence).
+    Test fixture only: lets adversarial tests verify that a receiver on
+    the real table does not lock onto a non-ICD rendering."""
     rng = np.random.default_rng(0xE1B0000 + prn)
     return (rng.integers(0, 2, CODE_LEN).astype(np.int8) * 2 - 1)
 

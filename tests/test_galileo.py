@@ -82,6 +82,59 @@ def test_inav_ephemeris_roundtrip():
     assert dec.tow_s == 345610.0
 
 
+def test_e1b_icd_code_table():
+    """The shipped primary codes are the real ICD memory codes.
+
+    Pins the published spec properties (Galileo OS SIS ICD Annex C;
+    reference embeds the same table at sdrcode.c:424-490): PRN1 starts
+    with hex F5D71013 (chips via logical 0 -> +1), every code is exactly
+    balanced, and zero-lag cross-correlation is at the memory-code design
+    level (< 0.04), far below anything a wrong/synthetic table gives.
+    """
+    prefix_hex = 0xF5D71013
+    bits = [(prefix_hex >> (31 - i)) & 1 for i in range(32)]
+    want = np.array([1 - 2 * b for b in bits], np.int8)
+    assert np.array_equal(gal.e1b_code(1)[:32], want)
+
+    table = np.stack([gal.e1b_code(p) for p in range(1, 51)])
+    assert table.shape == (50, 4092)
+    assert np.array_equal(table.sum(axis=1), np.zeros(50))
+    xc = (table @ table.T).astype(np.float64) / 4092.0
+    np.fill_diagonal(xc, 0.0)
+    assert np.abs(xc).max() < 0.04
+
+    # the old placeholder is NOT the ICD code (and must stay available
+    # as an explicitly-synthetic fixture only)
+    syn = gal.synthetic_e1b_code(1)
+    agree = (syn == table[0]).mean()
+    assert 0.4 < agree < 0.6
+
+
+def test_e1b_receiver_rejects_synthetic_rendering():
+    """A receiver on the ICD table must not acquire a capture rendered
+    with a non-ICD (synthetic) code — guards against the r2 failure mode
+    where sim and receiver shared one synthetic table and a code bug
+    would cancel out."""
+    FS = 4.096e6
+    N_CODE = 16384
+    prn, dopp, cp = 7, 900.0, 1000.5
+    syn_boc = codes_ops.boc11(gal.synthetic_e1b_code(prn))
+    code = jnp.asarray(syn_boc, jnp.float32)
+    f = gal.BOC_RATE * (1.0 + dopp / 1575.42e6)
+    chips = codes_ops.resample_code_bandlimited(code, f, FS, 2 * N_CODE,
+                                                rem_chips=cp)
+    t = jnp.arange(2 * N_CODE, dtype=jnp.float32) / FS
+    osc = cplx.expi(2.0 * jnp.pi * dopp * t)
+    x = cplx.to_complex(cplx.scale(osc, chips))
+    blocks = x.reshape(2, N_CODE)
+    rep = gal.replica_table_host(FS, N_CODE, prns=range(1, 37))
+    cfg = AcquisitionConfig(doppler_step_hz=150.0, doppler_max_hz=4500.0)
+    res = acq_mod.acquire_all(cplx.from_complex(blocks), rep, FS, cfg,
+                              code_period_s=gal.PERIOD_S,
+                              code_len_chips=gal.BOC_LEN)
+    assert not np.asarray(res.acquired).any()
+
+
 def test_e1b_acquisition_boc():
     """Acquire two E1B PRNs via the generic CAF with BOC replicas.
 
