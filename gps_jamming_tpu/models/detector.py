@@ -97,7 +97,9 @@ class TelemetryFrames(NamedTuple):
     All arrays shape (n_frames,).
     """
     time_s: jax.Array
-    buffcnt: jax.Array            # byte offset into the capture (int32; <2 GB files)
+    buffcnt: jax.Array            # byte offset into the capture (int64 —
+    #   a 10 MS/s GLONASS capture passes 2 GB in under 2 minutes, and the
+    #   reference's Python byte offsets are unbounded (worker.py:287)
     cn0_avg: jax.Array            # mean C/N0 across tracked sats (0 if none)
     residual_median: jax.Array
     residual_bad_count: jax.Array  # sats with residual > single-sat threshold
@@ -129,18 +131,21 @@ class DetectorTrace(NamedTuple):
 
 
 def init_state(cfg: DetectorConfig) -> DetectorState:
+    """Zero state. Byte counters are int64 and event rows float64 (exact
+    for offsets up to 2^53) so >2 GB captures keep exact byte ranges; the
+    whole scan runs under a local x64 scope in run_detector."""
     z = jnp.asarray
     return DetectorState(
         jamming=z(False),
-        pot_start_t=z(-1.0, jnp.float32),
-        pot_start_buffcnt=z(0, jnp.int32),
-        pot_end_t=z(-1.0, jnp.float32),
-        active_start_t=z(0.0, jnp.float32),
-        active_start_buffcnt=z(0, jnp.int32),
+        pot_start_t=z(-1.0, jnp.float64),
+        pot_start_buffcnt=z(0, jnp.int64),
+        pot_end_t=z(-1.0, jnp.float64),
+        active_start_t=z(0.0, jnp.float64),
+        active_start_buffcnt=z(0, jnp.int64),
         cn0_hist=jnp.zeros(cfg.cn0_history_len, jnp.float32),
         hist_count=z(0, jnp.int32),
         hist_pos=z(0, jnp.int32),
-        events=jnp.full((MAX_EVENTS, 4), -1.0, jnp.float32),
+        events=jnp.full((MAX_EVENTS, 4), -1.0, jnp.float64),
         n_events=z(0, jnp.int32),
     )
 
@@ -215,8 +220,8 @@ def four_flag_step(state: DetectorState, frame, ranges: jax.Array,
     clear = state.jamming & (~is_jamming_now) & clean
 
     # event append on clear (confirm_jamming_end, worker.py:441-458)
-    ev = jnp.stack([state.active_start_buffcnt.astype(jnp.float32),
-                    buffcnt.astype(jnp.float32),
+    ev = jnp.stack([state.active_start_buffcnt.astype(jnp.float64),
+                    buffcnt.astype(jnp.float64),
                     state.active_start_t, t])
     events = jnp.where(clear,
                        state.events.at[state.n_events % MAX_EVENTS].set(ev),
@@ -258,29 +263,44 @@ def run_detector(frames: TelemetryFrames, ranges: np.ndarray, n_ranges: int,
     Returns the final state (with the padded event table) and the per-frame
     flag trace. A still-open event at stream end is closed at the last frame
     (the worker's finally-block behavior, worker.py:523).
+
+    Runs under a local x64 scope: byte offsets are int64 on device (exact
+    event byte ranges for arbitrarily large captures). The scan is one row
+    per 100 ms telemetry frame, so the wide dtypes are compute-free.
     """
-    ranges_j = jnp.asarray(ranges)
-    n_ranges_j = jnp.asarray(n_ranges)
+    with jax.enable_x64(True):
+        ranges_j = jnp.asarray(np.asarray(ranges, np.int64))
+        n_ranges_j = jnp.asarray(n_ranges)
 
-    def step(state, frame):
-        return four_flag_step(state, frame, ranges_j, n_ranges_j, cfg)
+        def step(state, frame):
+            return four_flag_step(state, frame, ranges_j, n_ranges_j, cfg)
 
-    xs = (frames.time_s, frames.buffcnt, frames.cn0_avg,
-          frames.residual_median, frames.residual_bad_count,
-          frames.hgt, frames.nsat)
-    final, trace = jax.lax.scan(step, init_state(cfg), xs)
+        time_s = jnp.asarray(np.asarray(frames.time_s), jnp.float64)
+        buffcnt = jnp.asarray(np.asarray(frames.buffcnt), jnp.int64)
+        xs = (time_s, buffcnt,
+              jnp.asarray(np.asarray(frames.cn0_avg), jnp.float32),
+              jnp.asarray(np.asarray(frames.residual_median), jnp.float32),
+              jnp.asarray(np.asarray(frames.residual_bad_count),
+                          jnp.float32),
+              jnp.asarray(np.asarray(frames.hgt), jnp.float32),
+              jnp.asarray(np.asarray(frames.nsat), jnp.float32))
+        final, trace = jax.lax.scan(step, init_state(cfg), xs)
 
-    # close trailing open event
-    last_t = frames.time_s[-1]
-    last_b = frames.buffcnt[-1]
-    ev = jnp.stack([final.active_start_buffcnt.astype(jnp.float32),
-                    last_b.astype(jnp.float32),
-                    final.active_start_t, last_t])
-    events = jnp.where(final.jamming,
-                       final.events.at[final.n_events % MAX_EVENTS].set(ev),
-                       final.events)
-    n_events = jnp.where(final.jamming, final.n_events + 1, final.n_events)
-    final = final._replace(events=events, n_events=n_events)
+        # close trailing open event
+        last_t = time_s[-1]
+        last_b = buffcnt[-1]
+        ev = jnp.stack([final.active_start_buffcnt.astype(jnp.float64),
+                        last_b.astype(jnp.float64),
+                        final.active_start_t, last_t])
+        events = jnp.where(
+            final.jamming,
+            final.events.at[final.n_events % MAX_EVENTS].set(ev),
+            final.events)
+        n_events = jnp.where(final.jamming, final.n_events + 1,
+                             final.n_events)
+        final = final._replace(events=events, n_events=n_events)
+        final = jax.tree.map(np.asarray, jax.device_get(final))
+        trace = jax.tree.map(np.asarray, jax.device_get(trace))
     return final, trace
 
 

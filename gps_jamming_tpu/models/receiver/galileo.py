@@ -33,7 +33,7 @@ from ...ops import cplx
 from ...utils import constants as C
 from ...utils import crc as crc_mod
 from ...utils import fec
-from .lnav import Ephemeris, pack_bits, unpack_s, unpack_u
+from .lnav import Ephemeris, UtcParams as Utc, pack_bits, unpack_s, unpack_u
 
 SYNC = np.array([0, 1, 0, 1, 1, 0, 0, 0, 0, 0], np.int64)
 PAGE_SYMBOLS = 240
@@ -188,7 +188,7 @@ def parse_nominal_page(even114: np.ndarray, odd114: np.ndarray):
     return ok, data
 
 
-# --- word types 1-5: Keplerian eph + GST (ICD 5.1.9 scale factors) -------
+# --- word types 0-6: Keplerian eph + GST + GST-UTC (ICD 5.1.9) -----------
 
 _PI = 3.1415926535898
 
@@ -196,7 +196,16 @@ _PI = 3.1415926535898
 def _word_fields(data: np.ndarray) -> tuple[int, dict]:
     wt = unpack_u(data[0:6])
     d = {}
-    if wt == 1:
+    if wt == 0:
+        # spare word with time: WN/TOW valid when the 2-bit time field
+        # is 10b (ICD 4.3.5 table 49; bit layout sdrnav_gal.c:184-187 —
+        # the reference reads it unconditionally, we gate on the flag)
+        if unpack_u(data[6:8]) == 2:
+            d["week"] = unpack_u(data[96:108])
+            # TOW stamps the START of the 2 s page; +2 s = the edge the
+            # anchor refers to (the reference's +2.0, sdrnav_gal.c:186)
+            d["tow_s"] = float(unpack_u(data[108:128])) + 2.0
+    elif wt == 1:
         d["iode"] = unpack_u(data[6:16])
         d["toe"] = unpack_u(data[16:30]) * 60.0
         d["m0"] = unpack_s(data[30:62]) * 2.0 ** -31 * _PI
@@ -228,13 +237,41 @@ def _word_fields(data: np.ndarray) -> tuple[int, dict]:
         d["tgd"] = unpack_s(data[47:57]) * 2.0 ** -32      # BGD(E1,E5b)
         d["week"] = unpack_u(data[73:85])                  # GST WN
         d["tow_s"] = float(unpack_u(data[85:105]))         # GST TOW
+    elif wt == 6:
+        # GST-UTC conversion (ICD 5.1.7; the reference reads only the
+        # trailing TOW, sdrnav_gal.c:160-172 — we decode the full set)
+        d["utc"] = Utc(
+            a0=unpack_s(data[6:38]) * 2.0 ** -30,
+            a1=unpack_s(data[38:62]) * 2.0 ** -50,
+            dt_ls=unpack_s(data[62:70]),
+            t0t=unpack_u(data[70:78]) * 3600.0,
+            wn0t=unpack_u(data[78:86]),
+            wn_lsf=unpack_u(data[86:94]),
+            dn=unpack_u(data[94:97]),
+            dt_lsf=unpack_s(data[97:105]))
+        d["tow_s"] = float(unpack_u(data[105:125])) + 2.0
     return wt, d
 
 
 def _pack_word(wt: int, eph: Ephemeris) -> np.ndarray:
     data = np.zeros(128, np.int64)
     data[0:6] = pack_bits(wt, 6)
-    if wt == 1:
+    if wt == 0:
+        data[6:8] = pack_bits(2, 2)            # time field: WN/TOW valid
+        data[96:108] = pack_bits(eph.week, 12)
+        data[108:128] = pack_bits(max(int(eph.tow_s) - 2, 0), 20)
+    elif wt == 6:
+        u = eph.utc or Utc()
+        data[6:38] = pack_bits(int(round(u.a0 / 2.0 ** -30)), 32)
+        data[38:62] = pack_bits(int(round(u.a1 / 2.0 ** -50)), 24)
+        data[62:70] = pack_bits(int(u.dt_ls), 8)
+        data[70:78] = pack_bits(int(round(u.t0t / 3600.0)), 8)
+        data[78:86] = pack_bits(int(u.wn0t), 8)
+        data[86:94] = pack_bits(int(u.wn_lsf), 8)
+        data[94:97] = pack_bits(int(u.dn), 3)
+        data[97:105] = pack_bits(int(u.dt_lsf), 8)
+        data[105:125] = pack_bits(max(int(eph.tow_s) - 2, 0), 20)
+    elif wt == 1:
         data[6:16] = pack_bits(eph.iode, 10)
         data[16:30] = pack_bits(int(round(eph.toe / 60.0)), 14)
         data[30:62] = pack_bits(int(round(eph.m0 / _PI / 2.0 ** -31)), 32)

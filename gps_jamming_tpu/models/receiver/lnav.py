@@ -19,6 +19,7 @@ previous word.
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import numpy as np
 
@@ -170,10 +171,39 @@ class Ephemeris:
     # decode bookkeeping
     tow_s: float = 0.0
     have_subframes: tuple = ()
+    # broadcast UTC conversion parameters (GPS LNAV subframe 4 page 18 /
+    # Galileo I/NAV word 6) — None until the UTC word is decoded
+    utc: "UtcParams | None" = None
 
     @property
     def complete(self) -> bool:
         return {1, 2, 3} <= set(self.have_subframes)
+
+
+class UtcParams(NamedTuple):
+    """Broadcast (GPS or GST)->UTC conversion parameters.
+
+    Same parameter set in IS-GPS-200 (subframe 4 page 18) and the Galileo
+    OS SIS ICD 5.1.7 (I/NAV word 6, GST-UTC): first-order polynomial
+    (a0, a1) about reference (t0t, wn0t), current leap seconds dt_ls and a
+    scheduled leap (wn_lsf, dn, dt_lsf)."""
+    a0: float = 0.0            # s
+    a1: float = 0.0            # s/s
+    dt_ls: int = 0             # current leap seconds
+    t0t: float = 0.0           # reference time of week [s]
+    wn0t: int = 0              # reference week (mod 256 / GST mod 4096)
+    wn_lsf: int = 0            # week of scheduled leap
+    dn: int = 0                # day of scheduled leap (1..7)
+    dt_lsf: int = 0            # leap seconds after the event
+
+    def to_utc_seconds(self, tow_s: float, week: int) -> float:
+        """System time (tow within week) -> UTC seconds-of-week, the
+        ICD 5.1.7 / IS-GPS-200 20.3.3.5.2.4 'before event' branch:
+        t_UTC = tow - (dt_ls + a0 + a1*(tow - t0t + 604800*(WN - WN0t)))."""
+        dt = (self.dt_ls + self.a0
+              + self.a1 * (tow_s - self.t0t
+                           + 604800.0 * ((week - self.wn0t) % 256)))
+        return tow_s - dt
 
 
 _PI = 3.1415926535898      # ICD semicircle constant (rtklib SC2RAD)

@@ -115,6 +115,94 @@ def sharded_psd_and_power(blocks, mesh, sample_rate: float,
     return psd_fused, psd_ant, pm
 
 
+def sharded_caf_acquire(blocks, mesh, replica_fft_conj: cplx.CArray,
+                        doppler_hz: np.ndarray, sample_rate: float, *,
+                        precision: str | None = None):
+    """Sharded non-coherent CAF acquisition over an ('antenna','time') mesh.
+
+    The multi-chip form of `ops.caf.caf_accumulate` (the reference's
+    `sdraqcuisition` intg-fold loop, sdracq.c:15-27): each time shard
+    accumulates CAF power over its local integration blocks (one fused
+    Pallas kernel per shard on TPU), `psum` along TIME completes the
+    non-coherent integration, and `all_gather` along ANTENNA exposes every
+    antenna's surface on every device — the collective that replaces the
+    reference's per-receiver HTTP fan-in (worker.py:567-611 + sdrout.c:10-57)
+    for multi-antenna acquisition/TDOA fusion.
+
+    Args:
+      blocks: (n_antenna, n_time_shards, block_len) complex or planar
+        CArray; block_len must be a multiple of the replica length (each
+        code period is one integration block).
+      mesh: ('antenna', 'time') Mesh (parallel.mesh.make_mesh).
+      replica_fft_conj: (n_prn, n_code) conj(FFT(replica)) CArray with
+        HOST numpy planes (keeps the per-shard fused-Pallas dispatch).
+      doppler_hz: (n_freq,) numpy Doppler bins.
+
+    Returns float32 (n_antenna, n_prn, n_freq, n_code), replicated across
+    the mesh.
+    """
+    xp = cplx.asarray(blocks)
+    replica_fft_conj = cplx.asarray(replica_fft_conj)
+    n_code = replica_fft_conj.re.shape[-1]
+    if xp.shape[-1] % n_code:
+        raise ValueError(f"block_len {xp.shape[-1]} not a multiple of the "
+                         f"replica length {n_code}")
+
+    def kernel(local: cplx.CArray):        # local: (1, shards_local, L)
+        x2 = local.reshape(-1, n_code)     # integration blocks on this shard
+        from ..ops import caf as caf_ops
+        surf = caf_ops.caf_accumulate(x2, replica_fft_conj, doppler_hz,
+                                      sample_rate, precision=precision)
+        surf = jax.lax.psum(surf, TIME_AXIS)           # (n_prn, nf, n_code)
+        return jax.lax.all_gather(surf, ANTENNA_AXIS)  # (n_ant, ...)
+
+    f = jax.shard_map(kernel, mesh=mesh,
+                      in_specs=P(ANTENNA_AXIS, TIME_AXIS, None),
+                      out_specs=P(), check_vma=False)
+    return jax.jit(f)(xp)
+
+
+def sharded_pair_xcorr(slices, mesh, nfft: int | None = None):
+    """All-pairs FFT cross-correlation with antenna-sharded inputs.
+
+    The TDOA fusion path on a mesh: per-antenna aligned slices live
+    sharded along ANTENNA; one `all_gather` over ICI makes the full
+    antenna set local, then every device evaluates the batched
+    freq-domain correlation r_ij = IFFT(FFT(a_i) * conj(FFT(a_j))) for
+    all i<j pairs (models/tdoa.py `pair_lags` math, zero-padded to 2L so
+    lags are linear within +/-L). Replaces the reference's
+    file-per-antenna loop (triangulateTDOA.py:80-89) with one collective
+    + one batched FFT.
+
+    Args:
+      slices: (n_antenna, L) complex or planar CArray, sharded on axis 0.
+      nfft: FFT length (default 2L).
+
+    Returns float32 (n_pairs, nfft) |xcorr|^2, replicated; pair order =
+    itertools.combinations(range(n_antenna), 2).
+    """
+    xp = cplx.asarray(slices)
+    n_ant = xp.shape[0]
+    L = xp.shape[-1]
+    nfft = nfft or 2 * L
+    import itertools
+    ii, jj = map(np.array, zip(*itertools.combinations(range(n_ant), 2)))
+
+    def kernel(local: cplx.CArray):        # (n_ant/shard, L)
+        full = cplx.apply(
+            lambda a: jax.lax.all_gather(a, ANTENNA_AXIS, axis=0,
+                                         tiled=True), local)
+        F = fftcore.fft_p(full, n=nfft)     # (n_ant, nfft)
+        a = cplx.apply(lambda v: v[ii], F)
+        b = cplx.apply(lambda v: v[jj], F)
+        return fftcore.ifft_power_p(cplx.mul_conj(a, b))
+
+    f = jax.shard_map(kernel, mesh=mesh,
+                      in_specs=P(ANTENNA_AXIS, None),
+                      out_specs=P(), check_vma=False)
+    return jax.jit(f)(xp)
+
+
 def shard_blocks(iq: np.ndarray, n_antenna: int, n_time: int,
                  block_len: int | None = None) -> np.ndarray:
     """Host-side layout: (n_antenna, n_time_blocks, block_len) from per-

@@ -62,8 +62,9 @@ def single_chip() -> dict:
             "msamples_per_s_per_chip": round(msps, 2)}
 
 
-def scaling_worker(n_devices: int) -> dict:
-    """One weak-scaling point: sharded PSD/power on an n-device mesh.
+def scaling_worker(n_devices: int, include_caf: bool = True) -> dict:
+    """One weak-scaling point: the sharded detect+acquire chain
+    (PSD/power fusion + non-coherent CAF acquisition) on an n-device mesh.
 
     Per-device workload is constant (_PER_DEVICE_SAMPLES), so perfect
     scaling = constant step time; efficiency = t(1) / t(N).
@@ -72,6 +73,8 @@ def scaling_worker(n_devices: int) -> dict:
     import jax.numpy as jnp
 
     from ..config import DetectorConfig, SpectralConfig
+    from ..ops import caf as caf_ops
+    from ..ops import codes, cplx
     from ..parallel import fusion, mesh as mesh_lib
 
     devices = jax.devices()[:n_devices]
@@ -88,19 +91,40 @@ def scaling_worker(n_devices: int) -> dict:
                ).astype(np.complex64)
     blocks = jnp.asarray(fusion.shard_blocks(streams, n_ant, n_time, _BLOCK))
 
+    fs = 2.048e6
+    n_code = 2048                       # one C/A period at 2.048 MS/s
+    on_tpu = jax.default_backend() == "tpu"
+    n_prn = 32 if on_tpu else 8         # CPU-mesh plumbing stays quick
+    dopp = caf_ops.doppler_bins(7000.0, 1000.0 if not on_tpu else 200.0)
+    rep = cplx.CArray(*codes.sampled_code_fft_conj_host(
+        codes.gps_ca_table()[:n_prn], 1.023e6, fs, n_code))
+
     def step(b):
         psd_fused, psd_ant, pm = fusion.sharded_psd_and_power(
-            b, mesh, 2.048e6, det, spec)
+            b, mesh, fs, det, spec)
         return psd_fused.sum(), pm.sum()
 
     jstep = jax.jit(step)
     dt = _slope_time(jstep, blocks)
+    out = {"n_devices": n_devices, "mesh": [n_ant, n_time]}
+    if include_caf:
+        # detect+acquire chain: CAF over 8 integration blocks per shard
+        # (the sharded form of the flagship bench.py step)
+        def chain(b):
+            _, _, pm = fusion.sharded_psd_and_power(b, mesh, fs, det, spec)
+            surf = fusion.sharded_caf_acquire(b, mesh, rep, dopp, fs)
+            return pm.sum(), surf.max()
+
+        dt_chain = _slope_time(jax.jit(chain), blocks)
+        out["chain_step_s"] = round(dt_chain, 6)
+        out["chain_msamples_per_s_per_device"] = round(
+            n_ant * n_per_stream / dt_chain / 1e6 / n_devices, 2)
     total = n_ant * n_per_stream
-    return {"n_devices": n_devices, "mesh": [n_ant, n_time],
-            "step_s": round(dt, 6),
-            "msamples_per_s": round(total / dt / 1e6, 2),
-            "msamples_per_s_per_device": round(
-                total / dt / 1e6 / n_devices, 2)}
+    out.update(step_s=round(dt, 6),
+               msamples_per_s=round(total / dt / 1e6, 2),
+               msamples_per_s_per_device=round(
+                   total / dt / 1e6 / n_devices, 2))
+    return out
 
 
 def weak_scaling(device_counts: list[int], platform: str = "cpu"

@@ -83,14 +83,16 @@ def build_telemetry_frames(res: rx_mod.ReceiverResult, n_epochs: int,
             bad[f] = int(np.sum(r > cfg.detector.residual_single_sat_m))
             hgt[f] = sol.height_m if sol.valid else 0.0
             nsat[f] = sol.nsat if sol.valid else 0
+    # host numpy: run_detector moves these on-device under its x64 scope,
+    # keeping byte offsets exact int64 for >2 GB captures
     return detector.TelemetryFrames(
-        time_s=jnp.asarray(t, jnp.float32),
-        buffcnt=jnp.asarray(buffcnt, jnp.int32),
-        cn0_avg=jnp.asarray(cn0, jnp.float32),
-        residual_median=jnp.asarray(res_med, jnp.float32),
-        residual_bad_count=jnp.asarray(bad, jnp.float32),
-        hgt=jnp.asarray(hgt, jnp.float32),
-        nsat=jnp.asarray(nsat, jnp.float32))
+        time_s=t,
+        buffcnt=buffcnt,
+        cn0_avg=cn0.astype(np.float32),
+        residual_median=res_med.astype(np.float32),
+        residual_bad_count=bad.astype(np.float32),
+        hgt=hgt.astype(np.float32),
+        nsat=nsat.astype(np.float32))
 
 
 def analyze_capture(paths: Sequence[str],

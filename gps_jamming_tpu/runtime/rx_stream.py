@@ -27,6 +27,7 @@ reference channel thread after resetStructs.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -127,12 +128,97 @@ class StreamingReceiver:
                 code_len_chips=su["code_len_chips"])
         return res
 
+    def segment_window_samples(self) -> int:
+        """Device window length needed per segment: the segment's epochs
+        plus one code period of lag slack plus one epoch of slew margin."""
+        return (self.seg_epochs * self.n_epoch + self.su["n_code"]
+                + self.n_epoch)
+
     def process(self, x, verbose: bool = False) -> ReceiverResult:
-        log = print if verbose else (lambda *a: None)
+        """One-shot path: the whole capture device-resident (short files)."""
         xp = cplx.asarray(x)
         n = xp.shape[-1]
+        n_seg = (n - self.su["n_code"]) // (self.seg_epochs * self.n_epoch)
+
+        def get_window(seg):
+            return 0, xp                       # base offset, full capture
+
+        return self._process_core(get_window, n_seg, verbose)
+
+    def process_file(self, path: str, verbose: bool = False,
+                     convention: str = "centered",
+                     max_segments: int | None = None) -> ReceiverResult:
+        """Streaming path: bounded HBM for arbitrarily long captures.
+
+        Feeds the receiver from `native.reader.CaptureReader` (the C++
+        double-buffered prefetch reader — sdrrcv.c:61-107 ring-buffer role)
+        one segment window at a time: device memory holds ONE window of
+        `segment_window_samples()` samples (~2*4B*seg_len), independent of
+        file length, and host memory holds two reader blocks. A 1-hour
+        10 MS/s GLONASS capture streams in ~320 MB windows instead of a
+        ~290 GB resident array.
+
+        convention: 'centered' (x-127.5, default receiver contract),
+        'int8' (x-128) or 'normalized' ((x-127.5)/127.5).
+        """
+        from ..native.reader import CaptureReader
+
+        S = self.seg_epochs * self.n_epoch
+        W = self.segment_window_samples()
+        n_bytes = os.path.getsize(path)
+        n = n_bytes // 2
+        n_seg = (n - self.su["n_code"]) // S
+        if max_segments is not None:
+            n_seg = min(n_seg, max_segments)
+        if convention == "centered":
+            off, scale = 0.5, 1.0
+        elif convention == "int8":
+            off, scale = 0.0, 1.0
+        elif convention == "normalized":
+            off, scale = 0.5, 1.0 / 127.5
+        else:
+            raise ValueError(f"unknown convention {convention!r}")
+
+        reader = CaptureReader(path, block_samples=S)
+        it = iter(reader)
+        buf: dict[int, np.ndarray] = {}        # block idx -> (2, S) int8
+        next_blk = 0
+
+        def fetch_upto(b):
+            nonlocal next_blk
+            while next_blk <= b:
+                try:
+                    _, blk = next(it)
+                except StopIteration:
+                    break
+                buf[next_blk] = blk
+                next_blk += 1
+
+        def get_window(seg):
+            fetch_upto(seg + 1)
+            head = buf.get(seg)
+            tail = buf.get(seg + 1)
+            w = np.zeros((2, W), np.float32)
+            if head is not None:
+                m = min(head.shape[1], W)
+                w[:, :m] = head[:, :m]
+            if tail is not None and W > S:
+                m = min(tail.shape[1], W - S)
+                w[:, S:S + m] = tail[:, :m]
+            buf.pop(seg - 1, None)             # keep only seg, seg+1
+            w = (w + off) * scale
+            return seg * S, cplx.CArray(jnp.asarray(w[0]),
+                                        jnp.asarray(w[1]))
+
+        try:
+            return self._process_core(get_window, n_seg, verbose)
+        finally:
+            reader.close()
+
+    def _process_core(self, get_window, n_seg: int,
+                      verbose: bool = False) -> ReceiverResult:
+        log = print if verbose else (lambda *a: None)
         su = self.su
-        n_seg = (n - su["n_code"]) // (self.seg_epochs * self.n_epoch)
         ids = su["ids"]
 
         # slot bookkeeping (host)
@@ -170,11 +256,12 @@ class StreamingReceiver:
         for seg in range(n_seg):
             seg_ep = seg * self.seg_epochs
             seg_start = seg_ep * self.n_epoch
+            base, xw = get_window(seg)
 
             # ---- fill free slots from a fresh acquisition ---------------
             free = [s for s in range(self.n_slots) if slot_sat[s] == 0]
             if free:
-                res = self._acquire(xp, seg_start)
+                res = self._acquire(xw, seg_start - base)
                 acq = np.asarray(res.acquired)
                 ratios = np.asarray(res.peak_ratio)
                 dopp = np.asarray(res.doppler_hz)
@@ -190,9 +277,10 @@ class StreamingReceiver:
                     eff = dopp[new_idx].astype(np.float32)
                     if o2 is not None:
                         eff = eff + o2
-                    abs_lag = (lags[new_idx] + seg_start).astype(np.int32)
+                    abs_lag = (lags[new_idx] + seg_start).astype(np.int64)
                     fine = np.asarray(acq_mod.refine_doppler(
-                        xp, t2, abs_lag, eff, self.fs, su["chip_rate"],
+                        xw, t2, (abs_lag - base).astype(np.int32), eff,
+                        self.fs, su["chip_rate"],
                         carrier_hz=c2 if c2 is not None else 1575.42e6,
                         nominal_offset_hz=o2 if o2 is not None else 0.0))
                     init2 = tracking.init_state(
@@ -235,7 +323,8 @@ class StreamingReceiver:
             # ---- one tracking scan over the segment ---------------------
             ages = (seg_ep - slot_birth).astype(np.int32)
             st, outs = self._jit_run(
-                st, xp, slot_next.astype(np.int32), jnp.asarray(ages),
+                st, xw, (slot_next - base).astype(np.int32),
+                jnp.asarray(ages),
                 jnp.asarray(tab), jnp.asarray(carr), jnp.asarray(offhz))
             ip = np.asarray(outs.i_prompt)
             rem = np.asarray(outs.code_rem_chips)

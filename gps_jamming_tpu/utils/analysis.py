@@ -77,13 +77,16 @@ def position_report(records: list[dict], ref_lat: float, ref_lon: float,
 
 def clock_stats(records: list[dict]) -> dict:
     """Clock-bias statistics (clock_error.py / jitter.py): mean, std,
-    drift rate (least-squares slope), and fix-to-fix jitter."""
+    drift rate (least-squares slope), and fix-to-fix jitter, in meters.
+    Telemetry records carry clk_bias in seconds (the sdrout.c contract);
+    converted to meters here for the reported stats."""
+    c_m_s = 299_792_458.0
     t, b = [], []
     for r in records:
         p = r["position"]
         if p["nsat"] > 0:
             t.append(r["elapsed_time"])
-            b.append(p["clk_bias"])
+            b.append(p["clk_bias"] * c_m_s)
     t = np.asarray(t)
     b = np.asarray(b)
     if t.size < 2:

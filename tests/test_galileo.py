@@ -82,6 +82,51 @@ def test_inav_ephemeris_roundtrip():
     assert dec.tow_s == 345610.0
 
 
+def test_inav_words_0_and_6():
+    """Word 0 (spare/time) and word 6 (GST-UTC) round-trip through the
+    page codec and merge into the ephemeris — full 0-6 coverage of the
+    reference's I/NAV decoder (sdrnav_gal.c:20-275), plus the GST->UTC
+    conversion the reference omits (it reads only word 6's TOW)."""
+    from gps_jamming_tpu.models.receiver.lnav import UtcParams
+    utc = UtcParams(a0=-9.3132257e-10, a1=8.881784e-16, dt_ls=18,
+                    t0t=432000.0, wn0t=120, wn_lsf=137, dn=7, dt_lsf=18)
+    eph = gal.Ephemeris(prn=3, week=1280, tow_s=345602.0, utc=utc)
+    sym = gal.encode_inav_symbols(eph, word_types=(0, 6))
+    dec = gal.decode_inav_symbols(sym, prn=3)
+    assert set(dec.have_subframes) == {0, 6}
+    assert dec.week == 1280
+    assert dec.tow_s == 345602.0
+    assert dec.utc is not None
+    assert dec.utc.dt_ls == 18 and dec.utc.dt_lsf == 18
+    assert dec.utc.wn0t == 120 and dec.utc.wn_lsf == 137 and dec.utc.dn == 7
+    assert dec.utc.t0t == 432000.0
+    assert abs(dec.utc.a0 - utc.a0) < 2.0 ** -30
+    assert abs(dec.utc.a1 - utc.a1) < 2.0 ** -50
+    # GST -> UTC: subtracting the broadcast offset (~dt_ls = 18 s here)
+    t_utc = dec.utc.to_utc_seconds(345602.0, week=1280 % 256)
+    assert abs((345602.0 - t_utc) - 18.0) < 1e-6
+
+
+def test_inav_full_word_cycle_0_to_6():
+    """A stream carrying every word type 0-6 decodes a complete ephemeris
+    plus time and UTC fields in one pass."""
+    from gps_jamming_tpu.models.receiver.lnav import UtcParams
+    eph = gal.Ephemeris(
+        prn=11, week=1280, toe=345600.0, toc=345600.0, iode=87,
+        sqrt_a=np.sqrt(29_600_000.0), e=0.0002, m0=0.8, delta_n=3e-9,
+        omega0=-1.5, omega_dot=-5.6e-9, omega=0.4, i0=0.975, idot=-2e-10,
+        cuc=9e-7, cus=8e-6, crc=180.0, crs=25.0, cic=4e-8, cis=-3e-8,
+        af0=6e-4, af1=-8e-12, af2=0.0, tgd=2.3e-9, tow_s=345610.0,
+        utc=UtcParams(a0=2e-9, a1=0.0, dt_ls=18, t0t=405000.0, wn0t=121,
+                      wn_lsf=137, dn=3, dt_lsf=19))
+    sym = gal.encode_inav_symbols(eph, word_types=(0, 1, 2, 3, 4, 5, 6))
+    dec = gal.decode_inav_symbols(sym, prn=11)
+    assert set(dec.have_subframes) == {0, 1, 2, 3, 4, 5, 6}
+    assert gal.inav_complete(dec)
+    assert dec.iode == 87 and dec.week == 1280
+    assert dec.utc.dt_lsf == 19 and dec.utc.dn == 3
+
+
 def test_e1b_icd_code_table():
     """The shipped primary codes are the real ICD memory codes.
 

@@ -76,6 +76,7 @@ def _glo_shell(t0: float, tb: float):
     return sats
 
 
+@pytest.mark.slow
 def test_galileo_sim_acquisition_matches_truth():
     tow0 = TOE + 30.0
     n = int(0.08 * GAL_FS)

@@ -59,6 +59,63 @@ def test_halo_from_prev():
         np.testing.assert_array_equal(rows[i, :2], np.arange(8 * i - 2, 8 * i))
 
 
+def test_sharded_caf_matches_unsharded(rng):
+    """2 antennas x 4 time shards, 8 PRNs x 15 Doppler x 512 lags: the
+    psum-accumulated, all-gathered CAF equals per-antenna unsharded
+    caf_accumulate over the same integration blocks."""
+    from gps_jamming_tpu.ops import caf as caf_ops
+    from gps_jamming_tpu.ops import codes, cplx
+
+    fs = 2.048e6
+    n_code = 512
+    n_ant, n_time = 2, 4
+    blocks_per_shard = 2
+    block = blocks_per_shard * n_code
+    n = n_time * block
+    streams = (rng.standard_normal((n_ant, n)) +
+               1j * rng.standard_normal((n_ant, n))).astype(np.complex64)
+
+    rep = codes.sampled_code_fft_conj(codes.gps_ca_table()[:8], 1.023e6,
+                                      fs, n_code)
+    freqs = caf_ops.doppler_bins(7000.0, 1000.0)
+
+    m = mesh_lib.make_mesh(n_ant, n_time)
+    blk = jnp.asarray(fusion.shard_blocks(streams, n_ant, n_time, block))
+    surf = fusion.sharded_caf_acquire(blk, m, rep, freqs, fs)
+    assert surf.shape == (n_ant, 8, freqs.size, n_code)
+
+    for a in range(n_ant):
+        want = np.asarray(caf_ops.caf_accumulate(
+            cplx.asarray(jnp.asarray(streams[a].reshape(-1, n_code))),
+            rep, jnp.asarray(freqs), fs))
+        np.testing.assert_allclose(np.asarray(surf[a]), want, rtol=2e-4)
+
+
+def test_sharded_pair_xcorr_matches_unsharded(rng):
+    """Antenna-sharded all-pairs xcorr == the single-device pair math."""
+    from gps_jamming_tpu.ops import cplx, fftcore
+
+    L = 1024
+    n_ant = 4
+    base = (rng.standard_normal(L + 64)
+            + 1j * rng.standard_normal(L + 64)).astype(np.complex64)
+    slices = np.stack([base[k:k + L] for k in range(n_ant)])
+
+    m = mesh_lib.make_mesh(n_ant, 2)
+    out = np.asarray(fusion.sharded_pair_xcorr(jnp.asarray(slices), m))
+    assert out.shape == (n_ant * (n_ant - 1) // 2, 2 * L)
+
+    import itertools
+    for k, (i, j) in enumerate(itertools.combinations(range(n_ant), 2)):
+        fi = np.fft.fft(slices[i], 2 * L)
+        fj = np.fft.fft(slices[j], 2 * L)
+        want = np.abs(np.fft.ifft(fi * np.conj(fj))) ** 2
+        np.testing.assert_allclose(out[k], want, rtol=3e-3, atol=1e-3)
+        # known relative delay: r[k] = sum a_i[n+k] conj(a_j[n]) peaks at
+        # k = j-i (a_j is a_i advanced by j-i samples)
+        assert int(np.argmax(out[k])) == (j - i) % (2 * L)
+
+
 def test_sharded_psd_matches_unsharded(rng):
     """2 antennas x 4 time shards: PSD must equal the single-stream Welch."""
     fs = 2.048e6

@@ -58,7 +58,13 @@ def test_telemetry_schema_and_status_format():
     assert set(rec["position"]) == {"nsat", "lat", "lon", "hgt", "gdop",
                                     "clk_bias", "buffcnt", "hold"}
     line = telemetry.format_status_line(rec)
-    assert "ETIME|1.5" in line and "LLA|" in line and "OBS|5|" in line
+    # exact sdrout.c grammar: %.3f etime, UTC time string, %02d PRN lists
+    assert "ETIME|1.500" in line and "LLA|00|" in line and "OBS|05|" in line
+    assert "TIME|1980-01-10 00:00:00.000" in line
+    back = telemetry.parse_status_lines(line)[0]
+    assert back["acq_sv"] == [5, 17] and back["tracked"] == [5]
+    assert back["position"]["buffcnt"] == 12345
+    assert back["observations"][0]["prn"] == 5
     js = json.dumps(rec)
     assert json.loads(js) == rec
 

@@ -68,3 +68,54 @@ def test_streaming_receiver_survives_jam_and_reacquires():
     # no trustworthy fixes reported from inside the jam window
     mid = valid & (ep > JAM_START_S + 2.0) & (ep < JAM_END_S)
     assert mid.sum() <= 2, f"{mid.sum()} fixes inside the jam window"
+
+
+@pytest.mark.slow
+def test_process_file_matches_one_shot(tmp_path):
+    """Chunked/streaming feed == one-shot whole-capture processing.
+
+    process_file streams the capture through CaptureReader in fixed
+    segment windows (device memory = segment_window_samples() samples,
+    independent of file length — the sdrrcv.c:61-107 ring-buffer role);
+    the fixes and channel sets must match the device-resident path on the
+    same bytes.
+    """
+    tow0 = TOE - 1.3
+    n = int(26.0 * FS)          # LNAV needs subframes 1-3 (18 s) + margin
+    iq_sig, truths, rx_ecef = constellation.simulate_constellation(
+        _shell(), RX_LLA, tow0, n, FS, noise_std=0.3, seed=11)
+    assert len(truths) >= 4
+
+    # write the RTL-SDR uint8 capture
+    x = iq_sig.astype(np.complex64)
+    scale = 45.0 / max(np.abs(x.real).max(), np.abs(x.imag).max())
+    inter = np.empty(2 * n, np.float32)
+    inter[0::2] = x.real * scale
+    inter[1::2] = x.imag * scale
+    raw = np.clip(np.round(inter + 127.5), 0, 255).astype(np.uint8)
+    path = str(tmp_path / "cap.bin")
+    raw.tofile(path)
+
+    from gps_jamming_tpu.ops import iq as iq_ops
+    x_host = iq_ops.read_iq_file(path, convention="centered")
+
+    rx1 = rx_stream.StreamingReceiver(FS, system="gps", segment_s=2.0)
+    res1 = rx1.process(x_host)
+    rx2 = rx_stream.StreamingReceiver(FS, system="gps", segment_s=2.0)
+    # bounded window: ~2 s + one code period + one epoch, regardless of n
+    W = rx2.segment_window_samples()
+    assert W == int(2.0 * FS) + 2048 + 2048
+    assert W < n
+    res2 = rx2.process_file(path, convention="centered")
+
+    assert sorted(c.prn for c in res1.channels) == \
+        sorted(c.prn for c in res2.channels)
+    assert res1.fix_epochs == res2.fix_epochs
+    assert len(res1.fixes) >= 1
+    for f1, f2 in zip(res1.fixes, res2.fixes):
+        assert f1.valid == f2.valid
+        np.testing.assert_allclose(f1.pos_ecef, f2.pos_ecef, atol=1e-2)
+    # both land near the simulated receiver
+    errs = [np.linalg.norm(f.pos_ecef - rx_ecef)
+            for f in res2.fixes if f.valid]
+    assert errs and np.median(errs) < 30.0
