@@ -174,6 +174,10 @@ class Ephemeris:
     # broadcast UTC conversion parameters (GPS LNAV subframe 4 page 18 /
     # Galileo I/NAV word 6) — None until the UTC word is decoded
     utc: "UtcParams | None" = None
+    # Klobuchar ionosphere coefficients (subframe 4 page 18)
+    iono: "IonoParams | None" = None
+    # almanac entries keyed by PRN (subframe 5 pages 1-24)
+    almanac: dict = dataclasses.field(default_factory=dict)
 
     @property
     def complete(self) -> bool:
@@ -204,6 +208,32 @@ class UtcParams(NamedTuple):
               + self.a1 * (tow_s - self.t0t
                            + 604800.0 * ((week - self.wn0t) % 256)))
         return tow_s - dt
+
+
+class IonoParams(NamedTuple):
+    """Klobuchar ionosphere model coefficients (IS-GPS-200 20.3.3.5.1.7,
+    broadcast in subframe 4 page 18). The reference discards them
+    (sdrnav_gps.c:71-73 reads only the ToW of subframes 4/5)."""
+    alpha: tuple = (0.0, 0.0, 0.0, 0.0)   # s, s/sc, s/sc^2, s/sc^3
+    beta: tuple = (0.0, 0.0, 0.0, 0.0)    # s, s/sc, ...
+
+
+@dataclasses.dataclass
+class AlmanacEntry:
+    """Reduced-precision almanac orbit (subframe 5 pages 1-24,
+    IS-GPS-200 20.3.3.5.1.2)."""
+    prn: int = 0
+    e: float = 0.0
+    toa: float = 0.0
+    delta_i: float = 0.0       # rad, offset from 0.30 semicircles
+    omega_dot: float = 0.0
+    health: int = 0
+    sqrt_a: float = 0.0
+    omega0: float = 0.0
+    omega: float = 0.0
+    m0: float = 0.0
+    af0: float = 0.0
+    af1: float = 0.0
 
 
 _PI = 3.1415926535898      # ICD semicircle constant (rtklib SC2RAD)
@@ -326,13 +356,135 @@ def _sf3_words(eph: "Ephemeris", tow_count: int) -> np.ndarray:
     return w
 
 
-_SF_BUILDERS = {1: _sf1_words, 2: _sf2_words, 3: _sf3_words}
-_SF_PARSERS = {1: _sf1_fields, 2: _sf2_fields, 3: _sf3_fields}
+_UTC_PAGE_SVID = 56            # subframe 4 page 18 carries iono + UTC
+
+
+def _sf4_fields(data: np.ndarray) -> dict:
+    """Subframe 4: only page 18 (SV ID 56: iono + UTC) carries fields the
+    receiver consumes; other pages are recognized but skipped. Bit layout
+    IS-GPS-200 20.3.3.5.1.7/.1.8 — beyond the reference, which reads only
+    the ToW of subframes 4/5 (sdrnav_gps.c:71-77)."""
+    svid = unpack_u(data[2][2:8])
+    if svid != _UTC_PAGE_SVID:
+        return {}
+    iono = IonoParams(
+        alpha=(unpack_s(data[2][8:16]) * 2.0 ** -30,
+               unpack_s(data[2][16:24]) * 2.0 ** -27,
+               unpack_s(data[3][0:8]) * 2.0 ** -24,
+               unpack_s(data[3][8:16]) * 2.0 ** -24),
+        beta=(unpack_s(data[3][16:24]) * 2.0 ** 11,
+              unpack_s(data[4][0:8]) * 2.0 ** 14,
+              unpack_s(data[4][8:16]) * 2.0 ** 16,
+              unpack_s(data[4][16:24]) * 2.0 ** 16))
+    utc = UtcParams(
+        a1=unpack_s(data[5][0:24]) * 2.0 ** -50,
+        a0=unpack_s(np.concatenate([data[6][0:24], data[7][0:8]]))
+        * 2.0 ** -30,
+        t0t=unpack_u(data[7][8:16]) * 2.0 ** 12,
+        wn0t=unpack_u(data[7][16:24]),
+        dt_ls=unpack_s(data[8][0:8]),
+        wn_lsf=unpack_u(data[8][8:16]),
+        dn=unpack_u(data[8][16:24]),
+        dt_lsf=unpack_s(data[9][0:8]))
+    return {"iono": iono, "utc": utc}
+
+
+def _sf5_fields(data: np.ndarray) -> dict:
+    """Subframe 5 pages 1-24: almanac for SV 1-24 (IS-GPS-200
+    20.3.3.5.1.2). Page 25 (SV ID 51: health summary) is skipped."""
+    svid = unpack_u(data[2][2:8])
+    if not 1 <= svid <= 32:
+        return {}
+    alm = AlmanacEntry(
+        prn=svid,
+        e=unpack_u(data[2][8:24]) * 2.0 ** -21,
+        toa=unpack_u(data[3][0:8]) * 2.0 ** 12,
+        delta_i=unpack_s(data[3][8:24]) * 2.0 ** -19 * _PI,
+        omega_dot=unpack_s(data[4][0:16]) * 2.0 ** -38 * _PI,
+        health=unpack_u(data[4][16:24]),
+        sqrt_a=unpack_u(data[5][0:24]) * 2.0 ** -11,
+        omega0=unpack_s(data[6][0:24]) * 2.0 ** -23 * _PI,
+        omega=unpack_s(data[7][0:24]) * 2.0 ** -23 * _PI,
+        m0=unpack_s(data[8][0:24]) * 2.0 ** -23 * _PI,
+        af0=unpack_s(np.concatenate([data[9][0:8], data[9][19:22]]))
+        * 2.0 ** -20,
+        af1=unpack_s(data[9][8:19]) * 2.0 ** -38)
+    return {"almanac_entry": alm}
+
+
+def _sf4_words(eph: "Ephemeris", tow_count: int) -> np.ndarray:
+    """Subframe 4 page 18 fixture builder (iono + UTC)."""
+    w = np.zeros((10, 24), dtype=np.int64)
+    w[0][0:8] = PREAMBLE
+    w[1][0:17] = pack_bits(tow_count, 17)
+    w[1][19:22] = pack_bits(4, 3)
+    w[2][0:2] = pack_bits(1, 2)                    # data ID
+    w[2][2:8] = pack_bits(_UTC_PAGE_SVID, 6)
+    io = eph.iono or IonoParams()
+    u = eph.utc or UtcParams()
+    w[2][8:16] = pack_bits(int(round(io.alpha[0] / 2.0 ** -30)), 8)
+    w[2][16:24] = pack_bits(int(round(io.alpha[1] / 2.0 ** -27)), 8)
+    w[3][0:8] = pack_bits(int(round(io.alpha[2] / 2.0 ** -24)), 8)
+    w[3][8:16] = pack_bits(int(round(io.alpha[3] / 2.0 ** -24)), 8)
+    w[3][16:24] = pack_bits(int(round(io.beta[0] / 2.0 ** 11)), 8)
+    w[4][0:8] = pack_bits(int(round(io.beta[1] / 2.0 ** 14)), 8)
+    w[4][8:16] = pack_bits(int(round(io.beta[2] / 2.0 ** 16)), 8)
+    w[4][16:24] = pack_bits(int(round(io.beta[3] / 2.0 ** 16)), 8)
+    w[5][0:24] = pack_bits(int(round(u.a1 / 2.0 ** -50)), 24)
+    a0 = pack_bits(int(round(u.a0 / 2.0 ** -30)), 32)
+    w[6][0:24] = a0[0:24]
+    w[7][0:8] = a0[24:32]
+    w[7][8:16] = pack_bits(int(round(u.t0t / 2.0 ** 12)), 8)
+    w[7][16:24] = pack_bits(int(u.wn0t), 8)
+    w[8][0:8] = pack_bits(int(u.dt_ls), 8)
+    w[8][8:16] = pack_bits(int(u.wn_lsf), 8)
+    w[8][16:24] = pack_bits(int(u.dn), 8)
+    w[9][0:8] = pack_bits(int(u.dt_lsf), 8)
+    return w
+
+
+def _sf5_words(eph: "Ephemeris", tow_count: int,
+               alm_prn: int | None = None) -> np.ndarray:
+    """Subframe 5 almanac-page fixture builder (page = alm PRN)."""
+    w = np.zeros((10, 24), dtype=np.int64)
+    w[0][0:8] = PREAMBLE
+    w[1][0:17] = pack_bits(tow_count, 17)
+    w[1][19:22] = pack_bits(5, 3)
+    if not eph.almanac:
+        return w
+    if alm_prn is None:
+        alm_prn = sorted(eph.almanac)[0]
+    a = eph.almanac[alm_prn]
+    w[2][0:2] = pack_bits(1, 2)
+    w[2][2:8] = pack_bits(a.prn, 6)
+    w[2][8:24] = pack_bits(int(round(a.e / 2.0 ** -21)), 16)
+    w[3][0:8] = pack_bits(int(round(a.toa / 2.0 ** 12)), 8)
+    w[3][8:24] = pack_bits(int(round(a.delta_i / _PI / 2.0 ** -19)), 16)
+    w[4][0:16] = pack_bits(int(round(a.omega_dot / _PI / 2.0 ** -38)), 16)
+    w[4][16:24] = pack_bits(a.health, 8)
+    w[5][0:24] = pack_bits(int(round(a.sqrt_a / 2.0 ** -11)), 24)
+    w[6][0:24] = pack_bits(int(round(a.omega0 / _PI / 2.0 ** -23)), 24)
+    w[7][0:24] = pack_bits(int(round(a.omega / _PI / 2.0 ** -23)), 24)
+    w[8][0:24] = pack_bits(int(round(a.m0 / _PI / 2.0 ** -23)), 24)
+    af0 = pack_bits(int(round(a.af0 / 2.0 ** -20)), 11)
+    w[9][0:8] = af0[0:8]
+    w[9][19:22] = af0[8:11]
+    w[9][8:19] = pack_bits(int(round(a.af1 / 2.0 ** -38)), 11)
+    return w
+
+
+_SF_BUILDERS = {1: _sf1_words, 2: _sf2_words, 3: _sf3_words,
+                4: _sf4_words, 5: _sf5_words}
+_SF_PARSERS = {1: _sf1_fields, 2: _sf2_fields, 3: _sf3_fields,
+               4: _sf4_fields, 5: _sf5_fields}
 
 
 def encode_frames(eph: "Ephemeris", start_tow_s: float,
-                  n_subframes: int) -> np.ndarray:
-    """Encode a run of consecutive subframes 1,2,3,1,2,3,... as 0/1 bits.
+                  n_subframes: int, cycle=(1, 2, 3)) -> np.ndarray:
+    """Encode a run of consecutive subframes cycling `cycle` as 0/1 bits
+    (default 1,2,3,... — pass (1,2,3,4,5) for the full IS-GPS-200 frame;
+    subframe 4 emits the iono/UTC page 18, subframe 5 cycles the almanac
+    pages for eph.almanac's PRNs).
 
     start_tow_s must be a multiple of 6 s. The HOW carries the TOW count of
     the NEXT subframe boundary (IS-GPS-200 20.3.3.2): tow_count =
@@ -341,11 +493,18 @@ def encode_frames(eph: "Ephemeris", start_tow_s: float,
     assert start_tow_s % 6 == 0
     out = []
     d29 = d30 = 0
+    alm_prns = sorted(eph.almanac) or [None]
+    n_sf5 = 0
     for k in range(n_subframes):
         tow_s = start_tow_s + 6 * k
-        sf_id = (k % 3) + 1
+        sf_id = cycle[k % len(cycle)]
         tow_count = int((tow_s + 6.0) // 6.0)
-        words = _SF_BUILDERS[sf_id](eph, tow_count)
+        if sf_id == 5:
+            words = _sf5_words(eph, tow_count,
+                               alm_prn=alm_prns[n_sf5 % len(alm_prns)])
+            n_sf5 += 1
+        else:
+            words = _SF_BUILDERS[sf_id](eph, tow_count)
         sf = encode_subframe(words, d29, d30)
         d29, d30 = int(sf[-2]), int(sf[-1])
         out.append(sf)
@@ -430,7 +589,10 @@ def decode_stream(bits: np.ndarray, prn: int = 0):
             anchors.append((start, sf_id, tow_s))
             if fields:
                 for name, val in fields.items():
-                    setattr(eph, name, val)
+                    if name == "almanac_entry":
+                        eph.almanac[val.prn] = val
+                    else:
+                        setattr(eph, name, val)
                 eph.tow_s = tow_s
                 if sf_id not in have:
                     have.append(sf_id)

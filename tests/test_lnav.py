@@ -101,3 +101,59 @@ def test_find_preamble_rejects_random():
     eph = _test_eph()
     good = lnav.encode_frames(eph, 0.0, 2)
     assert 0 in lnav.find_preamble(good)
+
+
+def test_subframe4_page18_iono_utc_roundtrip():
+    """Subframe 4 page 18: Klobuchar iono + UTC parameters decode from the
+    page bits (beyond the reference, which reads only the ToW of
+    subframes 4/5 — sdrnav_gps.c:71-77)."""
+    eph = lnav.Ephemeris(prn=5, week=300)
+    eph.iono = lnav.IonoParams(
+        alpha=(1.1176e-8, -7.45e-9, -5.96e-8, 1.19e-7),
+        beta=(90112.0, -32768.0, -196608.0, 196608.0))
+    eph.utc = lnav.UtcParams(a0=-9.31e-10, a1=8.88e-16, dt_ls=18,
+                             t0t=405504.0, wn0t=44, wn_lsf=137, dn=7,
+                             dt_lsf=18)
+    bits = lnav.encode_frames(eph, 345600.0, 5, cycle=(1, 2, 3, 4, 5))
+    dec, _ = lnav.decode_stream(bits, prn=5)
+    # (subframe 5 carries no almanac here -> empty page, not recorded)
+    assert 4 in dec.have_subframes
+    assert dec.iono is not None and dec.utc is not None
+    for k in range(4):
+        assert abs(dec.iono.alpha[k] - eph.iono.alpha[k]) <= 2.0 ** -24
+        assert abs(dec.iono.beta[k] - eph.iono.beta[k]) <= 2.0 ** 16
+    assert dec.utc.dt_ls == 18 and dec.utc.dn == 7 and dec.utc.wn_lsf == 137
+    assert abs(dec.utc.a0 - eph.utc.a0) <= 2.0 ** -30
+    assert abs(dec.utc.a1 - eph.utc.a1) <= 2.0 ** -50
+    assert dec.utc.t0t == 405504.0 and dec.utc.wn0t == 44
+    # leap-second application
+    t_utc = dec.utc.to_utc_seconds(405504.0, week=300 % 256)
+    assert abs((405504.0 - t_utc) - 18.0) < 1e-6
+
+
+def test_subframe5_almanac_pages_roundtrip():
+    """Subframe 5 almanac pages: per-PRN entries decode and accumulate."""
+    eph = lnav.Ephemeris(prn=5, week=300)
+    eph.almanac[7] = lnav.AlmanacEntry(
+        prn=7, e=0.009, toa=319488.0, delta_i=0.02, omega_dot=-8.1e-9,
+        health=0, sqrt_a=5153.5, omega0=1.1, omega=-2.0, m0=0.7,
+        af0=3e-5, af1=4e-11)
+    eph.almanac[9] = lnav.AlmanacEntry(
+        prn=9, e=0.002, toa=319488.0, delta_i=-0.01, omega_dot=-7.9e-9,
+        health=63, sqrt_a=5153.7, omega0=-0.4, omega=2.4, m0=-1.3,
+        af0=-2e-5, af1=0.0)
+    # 10 subframes of 1..5 cycle -> sf5 appears twice -> both alm pages
+    bits = lnav.encode_frames(eph, 345600.0, 10, cycle=(1, 2, 3, 4, 5))
+    dec, _ = lnav.decode_stream(bits, prn=5)
+    assert sorted(dec.almanac) == [7, 9]
+    for prn in (7, 9):
+        a, w = dec.almanac[prn], eph.almanac[prn]
+        assert a.prn == prn and a.health == w.health
+        assert abs(a.e - w.e) <= 2.0 ** -21
+        assert a.toa == w.toa
+        assert abs(a.delta_i - w.delta_i) <= 2.0 ** -19 * 3.15
+        assert abs(a.sqrt_a - w.sqrt_a) <= 2.0 ** -11
+        assert abs(a.omega0 - w.omega0) <= 2.0 ** -23 * 3.15
+        assert abs(a.m0 - w.m0) <= 2.0 ** -23 * 3.15
+        assert abs(a.af0 - w.af0) <= 2.0 ** -20
+        assert abs(a.af1 - w.af1) <= 2.0 ** -38
