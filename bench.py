@@ -15,14 +15,21 @@ import time
 import numpy as np
 
 
-def _build_tpu_chain(n_scan: int = 8):
+def _build_tpu_chain(n_scan: int = 8, acq_method: str = "pcf"):
     """One jitted step processes `n_scan` 512k-sample blocks via lax.scan.
 
-    Per-sample WORK is identical to the single-block chain (a full cold
-    32-PRN x 71-Doppler x 10-integration acquisition runs for EVERY 512k
-    block, i.e. every 256 ms of capture); scanning several blocks per
+    Per-sample WORK is identical to the single-block chain: a full cold
+    32-PRN x (+/-7 kHz) x 10-code-period acquisition runs for EVERY 512k
+    block, i.e. every 256 ms of capture. Scanning several blocks per
     dispatch only amortizes the tunneled runtime's fixed per-call latency
     (~0.6 ms measured on axon), which is dispatch overhead, not compute.
+
+    acq_method 'pcf' (default since r3) = the post-correlation-FFT
+    factorized search (ops.caf.caf_accumulate_pcf): same +/-7 kHz coverage
+    on a FINER effective grid (max 50 Hz interior bias vs the reference's
+    100 Hz) with 5 ms coherent groups (MORE sensitive than the reference's
+    10 x 1 ms non-coherent sum) at ~4x fewer inverse DFTs. 'std' = the
+    reference-shaped 71-bin-per-block search (r1/r2 chain).
     """
     import jax
     import jax.numpy as jnp
@@ -47,7 +54,11 @@ def _build_tpu_chain(n_scan: int = 8):
         thr = power.power_threshold_linear(base, 6.0)
         flags = pm > thr
         blocks = x[: n_intg * n_code].reshape(n_intg, n_code)
-        surf = caf.caf_accumulate(blocks, replica, freqs, fs)
+        if acq_method == "pcf":
+            surf = caf.caf_accumulate_pcf(blocks, replica, fs,
+                                          max_doppler_hz=7000.0)
+        else:
+            surf = caf.caf_accumulate(blocks, replica, freqs, fs)
         peak = jnp.max(surf, axis=(-2, -1))
         return 0, (psd, pm, flags, peak)
 

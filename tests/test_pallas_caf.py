@@ -239,3 +239,36 @@ def test_resolve_acq_precision_policy():
         caf.set_acq_precision(prev)
         fftcore._PRECISION = prec
         fftcore._PRECISION_PINNED = pinned
+
+
+def test_fused_pcf_matches_xla_pcf():
+    """The fused PCF path (6 v3-kernel calls over coarse-shifted replica
+    chunks + time-domain group combination) reproduces the XLA
+    caf_accumulate_pcf surface exactly (f32, interpret mode)."""
+    rng = np.random.default_rng(11)
+    n, nb, n_prn = 2048, 10, 32
+    x = cplx.CArray(
+        jnp.asarray(rng.standard_normal((nb, n)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((nb, n)).astype(np.float32)))
+    rep_c = rng.standard_normal((n_prn, n)) + 1j * rng.standard_normal(
+        (n_prn, n))
+    rep = cplx.CArray(np.real(rep_c).astype(np.float32),
+                      np.imag(rep_c).astype(np.float32))
+    want = np.asarray(caf.caf_accumulate_pcf(
+        x, cplx.CArray(jnp.asarray(rep.re), jnp.asarray(rep.im)), FS))
+    got = np.asarray(pallas_caf.caf_accumulate_pcf_fused(
+        x, rep, FS, precision="f32", interpret=True))
+    assert got.shape == want.shape == (n_prn, 90, n)
+    np.testing.assert_allclose(got, want, rtol=2e-4,
+                               atol=2e-4 * want.max())
+
+
+def test_pcf_doppler_grid():
+    d = caf.pcf_doppler_hz(FS, 2048, 7000.0)
+    assert d.size == 15 * 2 * 3
+    assert d.min() == -7200.0 and d.max() == 7700.0
+    # every |f| <= 7000 is within 150 Hz of a grid point (interior: 50 Hz)
+    probe = np.linspace(-7000, 7000, 281)
+    dist = np.abs(probe[:, None] - d[None, :]).min(axis=1)
+    assert dist.max() <= 150.0
+    assert np.median(dist) <= 50.0

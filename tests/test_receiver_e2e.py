@@ -69,6 +69,43 @@ def test_sim_acquisition_matches_truth():
             assert not acq[prn - 1], f"false acquisition PRN {prn}"
 
 
+def test_pcf_acquisition_matches_truth_and_std():
+    """The post-correlation-FFT search (method='pcf') acquires the same
+    constellation as the reference-shaped search, with Doppler on its
+    finer grid (max 50 Hz bias interior) and the same code phases."""
+    tow0 = TOE + 30.0
+    n = int(0.1 * FS)
+    iq, truths, _ = constellation.simulate_constellation(
+        _shell(), RX_LLA, tow0, n, FS, noise_std=0.3, seed=1)
+    n_code = 2048
+    cfg = AcquisitionConfig()
+    xp = cplx.from_complex(iq.astype(np.complex64))
+    blocks = cplx.apply(
+        lambda a: a[: cfg.n_integration * n_code].reshape(-1, n_code), xp)
+    rep = acq_mod.gps_replica_table_host(FS, n_code)
+    std = acq_mod.acquire_all(blocks, rep, FS, cfg)
+    pcf = acq_mod.acquire_all(blocks, rep, FS, cfg, method="pcf")
+    a_std = np.asarray(std.acquired)
+    a_pcf = np.asarray(pcf.acquired)
+    dopp = np.asarray(pcf.doppler_hz)
+    lag_std = np.asarray(std.code_phase)
+    lag_pcf = np.asarray(pcf.code_phase)
+    sim_prns = {t.prn for t in truths}
+    for t in truths:
+        i = t.prn - 1
+        assert a_pcf[i], f"PRN {t.prn} not acquired by pcf"
+        assert abs(dopp[i] - t.doppler_hz) <= 120.0, (t.prn, dopp[i],
+                                                      t.doppler_hz)
+        err = (int(lag_pcf[i]) - int(lag_std[i]) + n_code // 2) \
+            % n_code - n_code // 2
+        assert abs(err) <= 1, (t.prn, lag_pcf[i], lag_std[i])
+    for prn in range(1, 33):
+        if prn not in sim_prns:
+            assert not a_pcf[prn - 1], f"pcf false acquisition PRN {prn}"
+    # identical acquisition decisions
+    assert np.array_equal(a_std, a_pcf)
+
+
 @pytest.mark.slow
 def test_full_receiver_position_fix():
     """The headline closed-loop test: 21 s capture -> 3D fix within 30 m
