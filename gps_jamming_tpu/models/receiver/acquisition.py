@@ -84,6 +84,14 @@ def acquire_all(blocks, replica_fft_conj,
                                           max_doppler_hz=cfg.doppler_max_hz)
         freqs = jnp.asarray(caf_ops.pcf_doppler_hz(
             sample_rate, surf.shape[-1], cfg.doppler_max_hz))
+        # C/N0 normalization: the PCF surface sums blocks COHERENTLY in
+        # groups of gl code periods, so peak/mean carries a factor gl the
+        # non-coherent surface lacks; the effective coherent integration
+        # time is gl * Tcode (peak ~ G*(gl*A)^2 vs noise ~ G*gl*sigma^2).
+        gl = blocks.shape[-2] // 2
+        return acquisition_test(surf, freqs, sample_rate, cfg,
+                                code_period_s * max(gl, 1),
+                                code_len_chips)
     else:
         freqs = caf_ops.doppler_bins(cfg.doppler_max_hz,
                                      cfg.doppler_step_hz)
