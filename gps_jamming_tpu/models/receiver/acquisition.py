@@ -76,8 +76,18 @@ def acquire_all(blocks, replica_fft_conj,
     method: 'std' = the reference-shaped per-Doppler non-coherent search
     (sdracq.c:15-27); 'pcf' = post-correlation-FFT factorized search
     (caf.caf_accumulate_pcf) — ~4x fewer inverse DFTs, 5 ms coherent
-    groups, a finer effective Doppler grid.
+    groups, a finer effective Doppler grid; 'auto' = pcf when its
+    inverse-row count beats std for this geometry (GPS 1-ms blocks: yes;
+    Galileo 4-ms blocks: no — see caf.pcf_profitable).
     """
+    if method == "auto":
+        n = blocks.shape[-1]
+        nb = blocks.shape[-2]
+        nf = caf_ops.doppler_bins(cfg.doppler_max_hz,
+                                  cfg.doppler_step_hz).size
+        method = "pcf" if caf_ops.pcf_profitable(
+            int(n), int(nb), float(sample_rate),
+            float(cfg.doppler_max_hz), int(nf)) else "std"
     if method == "pcf":
         surf = caf_ops.caf_accumulate_pcf(blocks, replica_fft_conj,
                                           sample_rate,

@@ -190,6 +190,27 @@ def pcf_doppler_hz(sample_rate: float, n: int, max_doppler_hz: float,
     return d.reshape(-1).astype(np.float32)
 
 
+def pcf_profitable(n: int, n_blocks: int, sample_rate: float,
+                   max_doppler_hz: float, n_freq_std: int,
+                   n_sets: int = 2, n_fine: int = 3,
+                   n_groups: int = 2) -> bool:
+    """Does the PCF factorization beat the per-Doppler search for this
+    geometry?
+
+    PCF wins when the FFT bin spacing fs/n is COARSE relative to the
+    Doppler span (GPS: 1 kHz bins, 15 coarse shifts replace 71 bins).
+    For long blocks the bins are already fine (Galileo E1B 16k @ 4 ms:
+    250 Hz), the coarse axis balloons (57 bins x sets x fine = 342 rows
+    vs 71), and PCF LOSES — measured 28 ms vs 5.3 ms on v5e. Compare
+    inverse-DFT row counts, the dominant cost either way.
+    """
+    bin_hz = sample_rate / n
+    n_c = 2 * int(np.floor(max_doppler_hz / bin_hz)) + 1
+    pcf_rows = n_c * n_sets * n_fine * n_groups
+    std_rows = n_freq_std * n_blocks
+    return pcf_rows < std_rows
+
+
 def caf_accumulate_pcf(blocks, replica_fft_conj, sample_rate: float,
                        max_doppler_hz: float = 7000.0, n_sets: int = 2,
                        fine_hz=(-200.0, 0.0, 200.0),

@@ -692,6 +692,26 @@ def permute_replica_v3(rep_re: np.ndarray, rep_im: np.ndarray,
         prep(np.asarray(rep_im, np.float32))
 
 
+def permute_replica_v3_jnp(rep_re, rep_im, n1: int, n2: int,
+                           n_prn_padded: int):
+    """`permute_replica_v3` as traceable jnp ops, for device-resident /
+    traced replica planes (e.g. the in-trace coarse-shifted replicas of
+    the PCF search, which must NOT be baked into the program as host
+    constants — a 57-coarse-bin Galileo table is ~270 MB of inlined HLO,
+    which remote-compile services reject outright)."""
+    c = rep_re.shape[0]
+    cp = n_prn_padded
+
+    def prep(a):
+        p = jnp.asarray(a, jnp.float32).reshape(c, n2, n1)
+        if cp > c:
+            p = jnp.concatenate(
+                [p, jnp.zeros((cp - c, n2, n1), jnp.float32)], axis=0)
+        return jnp.transpose(p, (1, 0, 2)).reshape(n2, cp * n1)
+
+    return prep(rep_re), prep(rep_im)
+
+
 def _make_kernel_v3(precision: str, n1: int, n2: int, cp: int):
     from jax.experimental import pallas as pl
 
@@ -792,11 +812,15 @@ def caf_accumulate_fused_v3(blocks, replica_fft_conj, freqs,
     rep = replica_fft_conj
     if not isinstance(rep, cplx.CArray):
         rep = cplx.asarray(rep)
-    rep_re = np.asarray(rep.re, np.float32)
-    rep_im = np.asarray(rep.im, np.float32)
-    nprn = rep_re.shape[0]
+    nprn = rep.re.shape[0]
     cp = _pad_prn_v3(nprn, n1)
-    prr, pri = permute_replica_v3(rep_re, rep_im, n1, n2, cp)
+    if isinstance(rep.re, np.ndarray):
+        prr, pri = permute_replica_v3(np.asarray(rep.re, np.float32),
+                                      np.asarray(rep.im, np.float32),
+                                      n1, n2, cp)
+    else:
+        # traced / device replicas (PCF coarse shifts): permute in-trace
+        prr, pri = permute_replica_v3_jnp(rep.re, rep.im, n1, n2, cp)
 
     freqs_np = np.asarray(freqs, np.float64).reshape(-1)
     nf = freqs_np.shape[0]
@@ -897,6 +921,12 @@ def supported_pcf(n: int, n_prn: int) -> bool:
     return factorization_v3(n) is not None and supported_v3(n, n_prn)
 
 
+# Above this, the PCF coarse-shifted replica table is gathered in-trace
+# from one natural-order constant instead of being host-precomputed and
+# inlined into the program (tests monkeypatch it to force the gather path)
+PCF_HOST_REPLICA_MAX_BYTES = 32 << 20
+
+
 def caf_accumulate_pcf_fused(blocks, replica_fft_conj, sample_rate: float,
                              max_doppler_hz: float = 7000.0,
                              n_sets: int = 2,
@@ -932,18 +962,35 @@ def caf_accumulate_pcf_fused(blocks, replica_fft_conj, sample_rate: float,
     rep_im = np.asarray(rep.im, np.float32)
     nprn = rep_re.shape[0]
 
-    # host: coarse-shifted replica spectra, chunked to the v3 VMEM gate
+    # coarse-shifted replica spectra, chunked to the v3 VMEM gate
     k_idx = (np.arange(n)[None, :] - cvals[:, None]) % n        # (C, n)
     max_chunk = max((4096 // n1) // nprn, 1)
     chunks = [list(range(i, min(i + max_chunk, n_c)))
               for i in range(0, n_c, max_chunk)]
-    rep_chunks = []
-    for ch in chunks:
-        rr = np.ascontiguousarray(                    # (P, len, n) -> 2D
-            rep_re[:, k_idx[ch]].reshape(nprn * len(ch), n))
-        ri = np.ascontiguousarray(
-            rep_im[:, k_idx[ch]].reshape(nprn * len(ch), n))
-        rep_chunks.append(cplx.CArray(rr, ri))
+    # Host-precompute the shifted copies only while they stay a small
+    # inlined constant; above the cap (Galileo E1B: 36 PRN x 57 coarse x
+    # 16k lags = 269 MB -> remote-compile HTTP 413) embed ONE natural-order
+    # replica and gather the shifts in-trace (loop-invariant, so XLA
+    # hoists them out of scan loops).
+    host_bytes = nprn * n_c * n * 8
+    if host_bytes <= PCF_HOST_REPLICA_MAX_BYTES:
+        rep_chunks = []
+        for ch in chunks:
+            rr = np.ascontiguousarray(                # (P, len, n) -> 2D
+                rep_re[:, k_idx[ch]].reshape(nprn * len(ch), n))
+            ri = np.ascontiguousarray(
+                rep_im[:, k_idx[ch]].reshape(nprn * len(ch), n))
+            rep_chunks.append(cplx.CArray(rr, ri))
+    else:
+        rep_d = cplx.CArray(jnp.asarray(rep_re), jnp.asarray(rep_im))
+        iot = jnp.arange(n, dtype=jnp.int32)[None, :]
+        rep_chunks = []
+        for ch in chunks:
+            cv = jnp.asarray(cvals[ch], jnp.int32)[:, None]
+            idx = jnp.remainder(iot - cv, n)          # (len, n)
+            rep_chunks.append(cplx.apply(
+                lambda a, i=idx: jnp.take(a, i, axis=-1)
+                .reshape(nprn * i.shape[0], n), rep_d))
 
     # XLA prologue: combined group signals y[(s,fine), g, t]
     b_idx = np.arange(nb, dtype=np.float64)

@@ -38,9 +38,34 @@ from .spectral import _hann
 
 _SEG_TILE = 64
 
+_RUNTIME_OK: bool | None = None
+
 
 def supported(nperseg: int) -> bool:
     return factorization_v2(nperseg) is not None
+
+
+def runtime_supported() -> bool:
+    """One-shot probe: does the attached TPU runtime execute this kernel?
+
+    Some runtime builds reject otherwise-valid Mosaic programs at execute
+    time (UNIMPLEMENTED) — compile alone does not prove executability, so
+    the probe runs the real kernel on a minimal block eagerly and caches
+    the verdict for the process. Called from the `spectral.welch_psd_p`
+    dispatch gate; CPU/interpret callers never reach it.
+    """
+    global _RUNTIME_OK
+    if _RUNTIME_OK is None:
+        try:
+            n = 1024
+            z = jnp.zeros((2 * n,), jnp.float32)
+            out = welch_psd_fused(cplx.CArray(z[:n], z[n:]), 1.0, n,
+                                  interpret=False)
+            jax.block_until_ready(out)
+            _RUNTIME_OK = True
+        except Exception:
+            _RUNTIME_OK = False
+    return _RUNTIME_OK
 
 
 @functools.lru_cache(maxsize=8)

