@@ -35,13 +35,29 @@ def _parse_positions(spec: str | None, n: int):
     return out
 
 
+def _config_with_overrides(args):
+    """Apply settings-dialog-style CLI overrides (settings_dialog.py:47-120)
+    onto the default config tree."""
+    import dataclasses
+
+    from .config import DEFAULT_CONFIG
+    cfg = DEFAULT_CONFIG
+    thr = getattr(args, "threshold_db", None)
+    if thr is not None:
+        cfg = dataclasses.replace(
+            cfg, detector=dataclasses.replace(cfg.detector,
+                                              power_rise_db=float(thr)))
+    return cfg
+
+
 def cmd_detect(args) -> int:
     from .runtime import pipeline
     positions = _parse_positions(args.positions, len(args.files))
     res = pipeline.analyze_capture(
         args.files, antenna_positions=positions,
+        cfg=_config_with_overrides(args),
         run_receiver=not args.no_receiver, localize=not args.no_localize,
-        max_seconds=args.max_seconds, system=args.system)
+        max_seconds=args.max_seconds, system=args.system, hold=args.hold)
     out = {
         "power_ranges_bytes": res.power_ranges,
         "events": res.events,
@@ -88,19 +104,59 @@ def cmd_localize(args) -> int:
 
 
 def cmd_simulate(args) -> int:
+    """The reference sim GUI's three modes (gnss_frontend.py:791-1307):
+    --kind clean = mode A (weakened GPS), cw/chirp/broadband/pulsed =
+    mode B (jammer, optionally --with-gps over a live constellation),
+    spoof = mode C (spoofer)."""
     from .sim import scenario
     fs = args.sample_rate
+    n = int(args.seconds * fs)
+    lla = (args.lat, args.lon, args.hgt)
+    paths = [f"{args.out}{i}.bin" for i in range(args.antennas)]
+
+    if args.kind == "clean":
+        for i, path in enumerate(paths):
+            scenario.write_clean_capture(
+                path, lla, n, fs, weaken_gps=not args.no_weaken,
+                seed=args.seed + i)
+        print(json.dumps({"written": paths, "scenario": {
+            "kind": "clean", "lla": list(lla),
+            "weakened": not args.no_weaken}}))
+        return 0
+
+    if args.kind == "spoof":
+        fake_lla = (args.spoof_lat, args.spoof_lon, args.spoof_hgt)
+        for i, path in enumerate(paths):
+            fake_ecef = scenario.write_spoof_capture(
+                path, lla, fake_lla, n, fs, start_s=args.start,
+                ramp_s=args.ramp, overpower=args.overpower,
+                seed=args.seed + i)
+        print(json.dumps({"written": paths, "scenario": {
+            "kind": "spoof", "true_lla": list(lla),
+            "fake_lla": list(fake_lla), "fake_ecef": list(fake_ecef),
+            "start_s": args.start, "overpower": args.overpower}},
+            default=_np_default))
+        return 0
+
+    background = None
+    if args.with_gps:
+        import jax.numpy as jnp
+
+        from .sim import mix
+        bg, _, _ = scenario.gps_background(
+            lla, scenario.DEFAULT_TOE_S - 1.3, n, fs, seed=args.seed)
+        # x0.125 GPS level; AWGN is added per antenna downstream
+        background = mix.weaken(jnp.asarray(bg), noise_std=0.0)
     scn = scenario.JammerScenario(
         kind=args.kind, position_m=(args.jammer_x, args.jammer_y),
         start_s=args.start, duration_s=args.duration, seed=args.seed)
     positions = _parse_positions(args.positions, args.antennas)
-    paths = [f"{args.out}{i}.bin" for i in range(args.antennas)]
-    scenario.write_capture_set(scn, positions, paths,
-                               int(args.seconds * fs), fs,
-                               noise_std=args.noise)
+    scenario.write_capture_set(scn, positions, paths, n, fs,
+                               noise_std=args.noise, background=background)
     print(json.dumps({"written": paths, "scenario": {
         "kind": args.kind, "jammer_m": [args.jammer_x, args.jammer_y],
-        "start_s": args.start, "duration_s": args.duration}}))
+        "start_s": args.start, "duration_s": args.duration,
+        "with_gps": bool(args.with_gps)}}))
     return 0
 
 
@@ -254,8 +310,10 @@ def cmd_report(args) -> int:
     positions = _parse_positions(args.positions, len(args.files))
     res = pipeline.analyze_capture(
         args.files, antenna_positions=positions,
+        cfg=_config_with_overrides(args),
         run_receiver=not args.no_receiver, localize=True,
-        max_seconds=args.max_seconds, system=args.system)
+        max_seconds=args.max_seconds, system=args.system,
+        hold=getattr(args, "hold", False))
     os.makedirs(args.out, exist_ok=True)
     fs = CFG.frontend.sample_rate_hz
 
@@ -396,6 +454,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--system", default="gps",
                    choices=["gps", "glonass", "galileo"],
                    help="constellation (the reference's -g/-l/-a modes)")
+    d.add_argument("--threshold-db", type=float,
+                   help="F1 power-rise threshold over baseline "
+                        "(settings dialog; default 6.0 dB ITU-R)")
+    d.add_argument("--hold", action="store_true",
+                   help="freeze reported position on >1 deg jumps "
+                        "(the reference's -h flag)")
     d.set_defaults(fn=cmd_detect)
 
     loc = sub.add_parser("localize", help="RSSI + TDOA localization")
@@ -404,9 +468,13 @@ def build_parser() -> argparse.ArgumentParser:
     loc.add_argument("--no-tdoa", action="store_true")
     loc.set_defaults(fn=cmd_localize)
 
-    s = sub.add_parser("simulate", help="generate jammed captures")
+    s = sub.add_parser(
+        "simulate",
+        help="generate captures: clean GPS (mode A), jammed (mode B), "
+             "spoofed (mode C)")
     s.add_argument("--kind", default="chirp",
-                   choices=["cw", "chirp", "broadband", "pulsed"])
+                   choices=["cw", "chirp", "broadband", "pulsed",
+                            "clean", "spoof"])
     s.add_argument("--out", default="ant")
     s.add_argument("--seconds", type=float, default=1.0)
     s.add_argument("--antennas", type=int, default=3)
@@ -418,6 +486,23 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--noise", type=float, default=1.0)
     s.add_argument("--seed", type=int, default=7)
     s.add_argument("--sample-rate", type=float, default=2.048e6)
+    s.add_argument("--lat", type=float, default=50.06,
+                   help="receiver latitude (clean/spoof/--with-gps)")
+    s.add_argument("--lon", type=float, default=19.94)
+    s.add_argument("--hgt", type=float, default=219.0)
+    s.add_argument("--no-weaken", action="store_true",
+                   help="mode A: skip the x0.125 + AWGN weakening")
+    s.add_argument("--with-gps", action="store_true",
+                   help="mode B: inject the jammer over a live GPS "
+                        "constellation background")
+    s.add_argument("--spoof-lat", type=float, default=50.30,
+                   help="mode C spoofed position")
+    s.add_argument("--spoof-lon", type=float, default=20.20)
+    s.add_argument("--spoof-hgt", type=float, default=15000.0)
+    s.add_argument("--overpower", type=float, default=4.0,
+                   help="mode C spoofer amplitude vs legit")
+    s.add_argument("--ramp", type=float, default=0.5,
+                   help="mode C spoofer ramp-up seconds")
     s.set_defaults(fn=cmd_simulate)
 
     sp = sub.add_parser("spectrum", help="Welch PSD waterfall stats")
@@ -452,6 +537,10 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--max-seconds", type=float)
     rp.add_argument("--system", default="gps",
                     choices=["gps", "glonass", "galileo"])
+    rp.add_argument("--threshold-db", type=float,
+                    help="F1 power-rise threshold over baseline [dB]")
+    rp.add_argument("--hold", action="store_true",
+                    help="freeze reported position on >1 deg jumps")
     rp.set_defaults(fn=cmd_report)
 
     sv = sub.add_parser("serve", help="live web dashboard (GUI, no Qt)")

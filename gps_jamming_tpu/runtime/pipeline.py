@@ -102,7 +102,8 @@ def analyze_capture(paths: Sequence[str],
                     run_receiver: bool = True,
                     localize: bool = True,
                     max_seconds: float | None = None,
-                    system: str = "gps") -> AnalysisResult:
+                    system: str = "gps",
+                    hold: bool = False) -> AnalysisResult:
     """Analyze 1-3 antenna captures end to end (start_analysis flow,
     ui_mainwindow.py:653 -> worker.py:477-547).
 
@@ -110,6 +111,9 @@ def analyze_capture(paths: Sequence[str],
     GLONASS / Galileo selector (ui_mainwindow.py:60-77; note the
     reference's GUI->CLI flag mapping is inconsistent, worker.py:104-111
     vs sdrmain.c:37-55 — here the name is the contract).
+    hold: freeze the REPORTED position while the fix is held (the
+    reference's -h hold-position filter, sdrout.c:141-183); when False
+    the telemetry still carries the hold flag but reports the raw fix.
     """
     t_start = time.time()
     fs = cfg.frontend.sample_rate_hz
@@ -139,7 +143,7 @@ def analyze_capture(paths: Sequence[str],
 
     # telemetry records + last safe fix (worker.py:339-346)
     log = telemetry.TelemetryLog()
-    hold = telemetry.HoldPositionFilter()
+    hold_filt = telemetry.HoldPositionFilter()
     last_safe = None
     jam_trace = np.asarray(trace.is_jamming)
     if res is not None:
@@ -160,8 +164,11 @@ def analyze_capture(paths: Sequence[str],
                     fix = res.fixes[k]
             is_hold = False
             if fix is not None:
-                _, _, _, is_hold = hold.apply(fix.lat_deg, fix.lon_deg,
-                                              fix.height_m)
+                h_lat, h_lon, h_hgt, is_hold = hold_filt.apply(
+                    fix.lat_deg, fix.lon_deg, fix.height_m)
+                if hold and is_hold:
+                    fix = fix._replace(lat_deg=h_lat, lon_deg=h_lon,
+                                       height_m=h_hgt)
             rec = telemetry.make_record(
                 elapsed_s=float(frames.time_s[f]),
                 time_s=float(frames.time_s[f]),

@@ -88,3 +88,104 @@ def write_capture_set(scn: JammerScenario, antenna_positions_m: Sequence,
         cap = render_antenna_capture(scn, pos, n_samples, sample_rate,
                                      noise_std, background, antenna_index=i)
         iq_ops.write_iq_file(path, np.asarray(cap))
+
+
+# ---------------------------------------------------------------------------
+# Modes A (clean / weakened GPS) and C (spoofer) — the other two scenario
+# modes of the reference simulation GUI (gnss_frontend.py:791-1307). Mode B
+# (jammer) is JammerScenario above; pass `background=` from gps_background
+# to run it over a live constellation, as add_jammer_and_mix.py does.
+# ---------------------------------------------------------------------------
+
+DEFAULT_TOE_S = 345_600.0                # synthetic-shell ephemeris epoch
+
+
+def synthetic_gps_shell(n_sats: int = 24, week: int = 2400,
+                        toe: float = DEFAULT_TOE_S) -> list:
+    """Walker-style synthetic GPS ephemeris shell (24 circular-ish orbits
+    spread over 6 planes) — the library stand-in for the reference's
+    broadcast RINEX corpus (`data/sim_data/brdc2830.25n`) when no real
+    ephemeris file is supplied to the simulator."""
+    from ..models.receiver import lnav
+    ephs = []
+    for k in range(n_sats):
+        ephs.append(lnav.Ephemeris(
+            prn=k + 1, week=week, toc=toe, af0=0.0, af1=0.0, af2=0.0,
+            tgd=0.0, iodc=100 + k, ura=1, health=0, iode=100 + k, toe=toe,
+            sqrt_a=np.sqrt(26_560_000.0), e=0.008,
+            m0=2.0 * np.pi * k / n_sats,
+            delta_n=4.5e-9, omega0=2.0 * np.pi * (k % 6) / 6.0,
+            omega_dot=-8.0e-9, omega=0.25 * k, i0=0.958, idot=-3e-10,
+            cuc=0.0, cus=0.0, crc=0.0, crs=0.0, cic=0.0, cis=0.0,
+            have_subframes=(1, 2, 3)))
+    return ephs
+
+
+def gps_background(rx_lla, tow0: float, n_samples: int, sample_rate: float,
+                   ephs: Sequence | None = None, amplitude: float = 64.0,
+                   seed: int = 0):
+    """Geometry-true GPS baseband in the centered-uint8 digital domain.
+
+    The gps-sdr-sim role (`gnss_frontend.py:961-999`): ephemeris-consistent
+    code phase / Doppler / nav bits for a receiver at `rx_lla`, scaled to
+    `amplitude` digital units per satellite (gps-sdr-sim's 8-bit output).
+    Returns (complex64 (n_samples,), truths, rx_ecef).
+    """
+    from . import constellation
+    shell = list(ephs) if ephs is not None else synthetic_gps_shell()
+    sig, truths, rx_ecef = constellation.simulate_constellation(
+        shell, tuple(rx_lla), tow0, n_samples, sample_rate,
+        noise_std=0.0, seed=seed)
+    return (sig * amplitude).astype(np.complex64), truths, rx_ecef
+
+
+def write_clean_capture(path: str, rx_lla, n_samples: int,
+                        sample_rate: float = C.DEFAULT_SAMPLE_RATE_GPS,
+                        weaken_gps: bool = True, tow0: float | None = None,
+                        ephs: Sequence | None = None, seed: int = 0) -> None:
+    """Mode A: clean or weakened GPS capture (`gnss_frontend.py:873-999`).
+
+    weaken_gps applies the reference's weaken_gps.py contract (x0.125 +
+    AWGN sigma=6.25) before the uint8 clip-and-offset serialization.
+    """
+    import jax.numpy as jnp
+    if tow0 is None:
+        tow0 = DEFAULT_TOE_S - 1.3
+    bg, _, _ = gps_background(rx_lla, tow0, n_samples, sample_rate,
+                              ephs=ephs, seed=seed)
+    x = jnp.asarray(bg)
+    if weaken_gps:
+        x = mix.weaken(x, key=jax.random.PRNGKey(seed + 17))
+    iq_ops.write_iq_file(path, np.asarray(x))
+
+
+def write_spoof_capture(path: str, true_lla, fake_lla, n_samples: int,
+                        sample_rate: float = C.DEFAULT_SAMPLE_RATE_GPS,
+                        start_s: float = -1.0, ramp_s: float = 0.5,
+                        overpower: float = 4.0, noise_std: float = 4.0,
+                        amplitude: float = 10.0, tow0: float | None = None,
+                        ephs: Sequence | None = None,
+                        seed: int = 0) -> np.ndarray:
+    """Mode C: spoofing-attack capture (`spoofer_mixer.py:29-171`).
+
+    Renders the SAME ephemeris shell twice — once for the receiver's true
+    position, once for the spoofer's fake one (the `*_fake_PRN.25n`
+    workflow) — and mixes with the ramp-up envelope at `overpower`.
+    Returns the fake position's ECEF (ground truth for tests/analysis).
+    """
+    import jax.numpy as jnp
+    if tow0 is None:
+        tow0 = DEFAULT_TOE_S - 1.3
+    shell = list(ephs) if ephs is not None else synthetic_gps_shell()
+    legit, _, _ = gps_background(true_lla, tow0, n_samples, sample_rate,
+                                 ephs=shell, amplitude=amplitude, seed=seed)
+    spoof, _, fake_ecef = gps_background(fake_lla, tow0, n_samples,
+                                         sample_rate, ephs=shell,
+                                         amplitude=amplitude, seed=seed)
+    mixed = mix.spoof_mix(jnp.asarray(legit), jnp.asarray(spoof),
+                          sample_rate, start_s=start_s, ramp_s=ramp_s,
+                          overpower=overpower)
+    out = mix.finalize_uint8_domain(mixed, noise_std=noise_std,
+                                    key=jax.random.PRNGKey(seed + 31))
+    iq_ops.write_iq_file(path, np.asarray(out))
+    return fake_ecef

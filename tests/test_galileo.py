@@ -155,6 +155,7 @@ def test_e1b_icd_code_table():
     assert 0.4 < agree < 0.6
 
 
+@pytest.mark.slow
 def test_e1b_receiver_rejects_synthetic_rendering():
     """A receiver on the ICD table must not acquire a capture rendered
     with a non-ICD (synthetic) code — guards against the r2 failure mode

@@ -241,6 +241,7 @@ def test_resolve_acq_precision_policy():
         fftcore._PRECISION_PINNED = pinned
 
 
+@pytest.mark.slow
 def test_fused_pcf_matches_xla_pcf():
     """The fused PCF path (6 v3-kernel calls over coarse-shifted replica
     chunks + time-domain group combination) reproduces the XLA
@@ -263,6 +264,7 @@ def test_fused_pcf_matches_xla_pcf():
                                atol=2e-4 * want.max())
 
 
+@pytest.mark.slow
 def test_fused_pcf_intrace_replica_shifts_match(monkeypatch):
     """Forcing the in-trace coarse-shift branch (used when the shifted
     replica table would exceed the inlined-constant cap, e.g. Galileo

@@ -186,6 +186,7 @@ def test_corpus_parses_losslessly():
 
 
 @needs_corpus
+@pytest.mark.slow
 def test_static_campaigns_no_spurious_events():
     ranges, nr = detector.ranges_to_padded([])
     for path in corpus_files():
@@ -200,6 +201,7 @@ def test_static_campaigns_no_spurious_events():
 
 
 @needs_corpus
+@pytest.mark.slow
 def test_detector_matches_worker_oracle():
     """The lax.scan detector reproduces the reference detector's event
     list exactly on every archived campaign (empty F1 map — the corpus

@@ -1,0 +1,128 @@
+"""Simulation modes A (clean/weakened) and C (spoofer) + settings-style
+CLI overrides — parity with the reference sim GUI's three modes
+(gnss_frontend.py:791-1307) and the settings dialog's threshold/hold
+knobs (settings_dialog.py:47-120, sdrmain.c:48-49).
+"""
+import json
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gps_jamming_tpu import cli
+from gps_jamming_tpu.config import DEFAULT_CONFIG as CFG
+from gps_jamming_tpu.models.receiver import acquisition as acq
+from gps_jamming_tpu.ops import cplx, iq
+from gps_jamming_tpu.sim import scenario
+
+FS = 2.048e6
+N_CODE = 2048
+LLA = (50.06, 19.94, 219.0)
+
+
+def _acquire_from_file(path, n_intg=10):
+    x = iq.read_iq_file(path, convention="centered")
+    blocks = cplx.from_complex(
+        jnp.asarray(x[: n_intg * N_CODE].astype(np.complex64))
+    ).reshape(n_intg, N_CODE)
+    rep = acq.gps_replica_table_host(FS, N_CODE)
+    return acq.acquire_all(blocks, rep, FS, CFG.acquisition)
+
+
+def test_clean_capture_mode_a(tmp_path):
+    """Mode A: a weakened clean capture is acquirable by the receiver and
+    carries the weaken_gps.py noise floor (x0.125 + AWGN sigma=6.25)."""
+    path = str(tmp_path / "clean0.bin")
+    n = 16 * N_CODE
+    scenario.write_clean_capture(path, LLA, n, FS, weaken_gps=True, seed=3)
+    raw = np.fromfile(path, np.uint8)
+    assert raw.size == 2 * n
+    # weakened: noise-dominated samples, but structure present
+    res = _acquire_from_file(path)
+    n_acq = int(np.asarray(res.acquired).sum())
+    assert n_acq >= 4, f"only {n_acq} PRNs acquired from clean capture"
+
+
+def test_clean_capture_no_weaken(tmp_path):
+    path = str(tmp_path / "strong0.bin")
+    n = 12 * N_CODE
+    scenario.write_clean_capture(path, LLA, n, FS, weaken_gps=False, seed=3)
+    x = iq.read_iq_file(path, convention="centered")
+    # unweakened: satellite amplitude ~64 digital units, no AWGN ->
+    # much hotter than the weakened floor
+    assert np.mean(np.abs(x) ** 2) > 500.0
+
+
+def test_spoof_capture_mode_c(tmp_path):
+    """Mode C: the spoofed capture contains BOTH constellations; the
+    overpowered spoof replicas dominate acquisition after the ramp."""
+    path = str(tmp_path / "spoof0.bin")
+    n = 16 * N_CODE
+    fake_ecef = scenario.write_spoof_capture(
+        path, LLA, (50.30, 20.20, 15000.0), n, FS,
+        start_s=-1.0, ramp_s=0.2, overpower=4.0, seed=5)
+    assert np.linalg.norm(fake_ecef) > 6.3e6      # a real ECEF position
+    res = _acquire_from_file(path)
+    n_acq = int(np.asarray(res.acquired).sum())
+    assert n_acq >= 4
+
+
+def test_cli_simulate_clean_and_spoof(tmp_path, capsys):
+    out = str(tmp_path / "a")
+    rc = cli.main(["simulate", "--kind", "clean", "--out", out,
+                   "--seconds", "0.02", "--antennas", "1"])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["scenario"]["kind"] == "clean" and meta["scenario"]["weakened"]
+    assert np.fromfile(meta["written"][0], np.uint8).size > 0
+
+    out = str(tmp_path / "s")
+    rc = cli.main(["simulate", "--kind", "spoof", "--out", out,
+                   "--seconds", "0.02", "--antennas", "1",
+                   "--start", "-1", "--overpower", "3.0"])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["scenario"]["kind"] == "spoof"
+    assert len(meta["scenario"]["fake_ecef"]) == 3
+
+
+def test_cli_jammer_with_gps_background(tmp_path, capsys):
+    """Mode B over a live constellation: the add_jammer_and_mix.py flow —
+    jammer power rise detectable AND GPS still present outside the jam."""
+    out = str(tmp_path / "j")
+    rc = cli.main(["simulate", "--kind", "cw", "--out", out,
+                   "--seconds", "0.4", "--antennas", "1", "--with-gps",
+                   "--start", "0.2", "--duration", "0.15",
+                   "--jammer-x", "1", "--jammer-y", "1"])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["scenario"]["with_gps"]
+    x = iq.read_iq_file(meta["written"][0], convention="centered")
+    pm = np.abs(x) ** 2
+    chunk = 32768
+    pc = pm[: pm.size // chunk * chunk].reshape(-1, chunk).mean(axis=1)
+    # the jam window is hotter than the pre-jam floor by >= 6 dB
+    assert pc.max() > pc[:10].mean() * 10 ** 0.6
+    # GPS survives: acquisition on the PRE-JAM head locks satellites
+    res = _acquire_from_file(meta["written"][0])
+    assert int(np.asarray(res.acquired).sum()) >= 4
+
+
+def test_threshold_override_plumbs_into_config():
+    class A:
+        threshold_db = 9.5
+    cfg = cli._config_with_overrides(A())
+    assert cfg.detector.power_rise_db == 9.5
+    assert CFG.detector.power_rise_db == 6.0     # default untouched
+
+
+def test_hold_filter_substitution():
+    """analyze_capture(hold=True) reports the held position on >1 deg
+    jumps — sdrout.c:141-183 semantics (reference -h flag)."""
+    from gps_jamming_tpu.runtime import telemetry
+    f = telemetry.HoldPositionFilter()
+    lat, lon, hgt, held = f.apply(50.0, 19.9, 200.0)
+    assert not held
+    lat, lon, hgt, held = f.apply(52.5, 19.9, 200.0)   # jump > 1 deg
+    assert held and lat == 50.0 and lon == 19.9 and hgt == 200.0
