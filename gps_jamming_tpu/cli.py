@@ -151,10 +151,23 @@ def cmd_simulate(args) -> int:
         kind=args.kind, position_m=(args.jammer_x, args.jammer_y),
         start_s=args.start, duration_s=args.duration, seed=args.seed)
     positions = _parse_positions(args.positions, args.antennas)
-    scenario.write_capture_set(scn, positions, paths, n, fs,
-                               noise_std=args.noise, background=background)
+    moving = (args.jammer_end_x is not None
+              or args.jammer_end_y is not None)
+    if moving:
+        end = (args.jammer_end_x if args.jammer_end_x is not None
+               else args.jammer_x,
+               args.jammer_end_y if args.jammer_end_y is not None
+               else args.jammer_y)
+        scenario.write_moving_capture_set(scn, positions, end, paths, n, fs,
+                                          noise_std=args.noise,
+                                          background=background)
+    else:
+        scenario.write_capture_set(scn, positions, paths, n, fs,
+                                   noise_std=args.noise,
+                                   background=background)
     print(json.dumps({"written": paths, "scenario": {
         "kind": args.kind, "jammer_m": [args.jammer_x, args.jammer_y],
+        **({"jammer_end_m": list(end)} if moving else {}),
         "start_s": args.start, "duration_s": args.duration,
         "with_gps": bool(args.with_gps)}}))
     return 0
@@ -490,6 +503,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="receiver latitude (clean/spoof/--with-gps)")
     s.add_argument("--lon", type=float, default=19.94)
     s.add_argument("--hgt", type=float, default=219.0)
+    s.add_argument("--jammer-end-x", type=float,
+                   help="moving jammer: end X (linear sweep over the "
+                        "capture, dynamic-mode trajectory profile)")
+    s.add_argument("--jammer-end-y", type=float)
     s.add_argument("--no-weaken", action="store_true",
                    help="mode A: skip the x0.125 + AWGN weakening")
     s.add_argument("--with-gps", action="store_true",

@@ -91,6 +91,67 @@ def write_capture_set(scn: JammerScenario, antenna_positions_m: Sequence,
 
 
 # ---------------------------------------------------------------------------
+# Dynamic mode B: moving jammer (the per-trajectory amplitude profile of
+# add_jammer_and_mix.py:100-135 dynamic mode). The jammer moves linearly
+# from scn.position_m to `jammer_end_m` over the capture; its per-sample
+# amplitude follows the same path-loss model the RSSI localizer inverts,
+# linearly interpolated between 10 Hz trajectory steps.
+# ---------------------------------------------------------------------------
+
+def moving_jammer_profile(scn: JammerScenario, antenna_pos_m, jammer_end_m,
+                          n_samples: int, sample_rate: float,
+                          rate_hz: float = 10.0) -> jnp.ndarray:
+    """Per-sample jammer amplitude seen by one antenna (float32,
+    (n_samples,)) for a linear start->end jammer sweep."""
+    n_steps = max(int(np.ceil(n_samples / sample_rate * rate_hz)), 1)
+    f = np.linspace(0.0, 1.0, n_steps + 1)
+    start = np.asarray(scn.position_m, np.float64)
+    end = np.asarray(jammer_end_m, np.float64)
+    pos = start[None, :] * (1.0 - f[:, None]) + end[None, :] * f[:, None]
+    d = np.sqrt(((pos - np.asarray(antenna_pos_m, np.float64)) ** 2)
+                .sum(axis=1))
+    amps = np.array([jammer_amplitude_at(scn, max(di, 1e-3)) for di in d],
+                    np.float32)
+    spp = int(np.ceil(n_samples / n_steps))
+    frac = (np.arange(spp, dtype=np.float32) / spp)[None, :]
+    segs = amps[:-1, None] + (amps[1:, None] - amps[:-1, None]) * frac
+    return jnp.asarray(segs.reshape(-1)[:n_samples])
+
+
+def render_antenna_capture_moving(scn: JammerScenario, antenna_pos_m,
+                                  jammer_end_m, n_samples: int,
+                                  sample_rate: float,
+                                  noise_std: float = 6.25,
+                                  background: jax.Array | None = None,
+                                  antenna_index: int = 0) -> jax.Array:
+    """Dynamic-mode antenna capture: jammer on for the whole file with the
+    distance-trajectory amplitude profile (its approach/departure forms
+    the detection window naturally)."""
+    key = jax.random.PRNGKey(scn.seed * 1000 + antenna_index)
+    kj, kn = jax.random.split(key)
+    jam = jammers.generate(scn.kind, n_samples, sample_rate, key=kj)
+    prof = moving_jammer_profile(scn, antenna_pos_m, jammer_end_m,
+                                 n_samples, sample_rate)
+    base = background if background is not None else jnp.zeros(
+        n_samples, dtype=jnp.complex64)
+    out = mix.inject_profile(base, jam, prof)
+    return mix.finalize_uint8_domain(out, noise_std=noise_std, key=kn)
+
+
+def write_moving_capture_set(scn: JammerScenario, antenna_positions_m,
+                             jammer_end_m, paths: Sequence[str],
+                             n_samples: int,
+                             sample_rate: float = C.DEFAULT_SAMPLE_RATE_GPS,
+                             noise_std: float = 6.25,
+                             background: jax.Array | None = None) -> None:
+    for i, (pos, path) in enumerate(zip(antenna_positions_m, paths)):
+        cap = render_antenna_capture_moving(
+            scn, pos, jammer_end_m, n_samples, sample_rate, noise_std,
+            background, antenna_index=i)
+        iq_ops.write_iq_file(path, np.asarray(cap))
+
+
+# ---------------------------------------------------------------------------
 # Modes A (clean / weakened GPS) and C (spoofer) — the other two scenario
 # modes of the reference simulation GUI (gnss_frontend.py:791-1307). Mode B
 # (jammer) is JammerScenario above; pass `background=` from gps_background

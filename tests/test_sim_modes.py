@@ -109,6 +109,30 @@ def test_cli_jammer_with_gps_background(tmp_path, capsys):
     assert int(np.asarray(res.acquired).sum()) >= 4
 
 
+def test_moving_jammer_profile_peaks_at_closest_approach(tmp_path, capsys):
+    """Dynamic mode B: a jammer sweeping past the antenna produces a
+    power envelope that peaks at closest approach (the dynamic-mode
+    trajectory profile of add_jammer_and_mix.py:100-135)."""
+    out = str(tmp_path / "m")
+    rc = cli.main(["simulate", "--kind", "cw", "--out", out,
+                   "--seconds", "0.3", "--antennas", "1",
+                   "--jammer-x", "6", "--jammer-y", "0",
+                   "--jammer-end-x", "-6", "--jammer-end-y", "0",
+                   "--noise", "0.5"])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["scenario"]["jammer_end_m"] == [-6.0, 0.0]
+    x = iq.read_iq_file(meta["written"][0], convention="centered")
+    chunk = 16384
+    pc = (np.abs(x[: x.size // chunk * chunk]) ** 2
+          ).reshape(-1, chunk).mean(axis=1)
+    k = int(np.argmax(pc))
+    # closest approach (jammer at the antenna) is mid-capture
+    assert 0.3 < k / pc.size < 0.7, (k, pc.size)
+    # edges are far (6 m) -> much weaker than the peak
+    assert pc[k] > 4.0 * pc[0] and pc[k] > 4.0 * pc[-1]
+
+
 def test_threshold_override_plumbs_into_config():
     class A:
         threshold_db = 9.5
