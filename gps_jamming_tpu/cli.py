@@ -115,12 +115,22 @@ def cmd_simulate(args) -> int:
     paths = [f"{args.out}{i}.bin" for i in range(args.antennas)]
 
     if args.kind == "clean":
+        end_lla = None
+        if (args.end_lat is not None or args.end_lon is not None
+                or args.end_hgt is not None):
+            end_lla = (args.end_lat if args.end_lat is not None
+                       else args.lat,
+                       args.end_lon if args.end_lon is not None
+                       else args.lon,
+                       args.end_hgt if args.end_hgt is not None
+                       else args.hgt)
         for i, path in enumerate(paths):
             scenario.write_clean_capture(
                 path, lla, n, fs, weaken_gps=not args.no_weaken,
-                seed=args.seed + i)
+                seed=args.seed + i, end_lla=end_lla)
         print(json.dumps({"written": paths, "scenario": {
             "kind": "clean", "lla": list(lla),
+            **({"end_lla": list(end_lla)} if end_lla else {}),
             "weakened": not args.no_weaken}}))
         return 0
 
@@ -507,6 +517,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="moving jammer: end X (linear sweep over the "
                         "capture, dynamic-mode trajectory profile)")
     s.add_argument("--jammer-end-y", type=float)
+    s.add_argument("--end-lat", type=float,
+                   help="mode A moving receiver: end latitude (linear "
+                        "sweep, the gps-sdr-sim -u trajectory mode)")
+    s.add_argument("--end-lon", type=float)
+    s.add_argument("--end-hgt", type=float)
     s.add_argument("--no-weaken", action="store_true",
                    help="mode A: skip the x0.125 + AWGN weakening")
     s.add_argument("--with-gps", action="store_true",

@@ -103,14 +103,29 @@ def render_signal(rho_coeffs: np.ndarray, clk0_s: float,
     return out
 
 
+def _traj_rx(rows: np.ndarray, t_rel) -> np.ndarray:
+    """Interpolate user-motion rows (t, x, y, z) — the gps-sdr-sim -u CSV
+    contract of trajectory.linear_trajectory — at `t_rel` seconds from the
+    first row. Returns (len(t_rel), 3) ECEF."""
+    rows = np.asarray(rows, np.float64)
+    t = np.atleast_1d(np.asarray(t_rel, np.float64))
+    return np.stack([np.interp(t, rows[:, 0], rows[:, 1 + k])
+                     for k in range(3)], axis=-1)
+
+
 def _range_fit(eph1: eph_mod.EphArrays, t0: float, dur: float,
-               rx_ecef: np.ndarray, grid_step_s: float = 1.0) -> np.ndarray:
-    """Quadratic fit of geometric range over the capture (range accel
-    < 1 m/s^2 keeps the fit error < 1 mm over tens of seconds)."""
+               rx_ecef: np.ndarray, grid_step_s: float = 1.0,
+               rx_rows: np.ndarray | None = None) -> np.ndarray:
+    """Polynomial fit of geometric range over the capture. Static receiver:
+    quadratic (range accel < 1 m/s^2 keeps fit error < 1 mm over tens of
+    seconds). Moving receiver (rx_rows user-motion): quartic — for vehicle
+    speeds the extra curvature stays well inside a degree-4 fit."""
     n_grid = max(int(np.ceil(dur / grid_step_s)) + 2, 5)
     tg = np.linspace(0.0, dur, n_grid)
-    rho_g = geometric_range(eph1, t0 + tg, rx_ecef)
-    return np.polyfit(tg, rho_g, 2)
+    rx = _traj_rx(rx_rows, tg) if rx_rows is not None else rx_ecef
+    rho_g = geometric_range(eph1, t0 + tg, rx)
+    deg = 2 if rx_rows is None else min(4, n_grid - 1)
+    return np.polyfit(tg, rho_g, deg)
 
 
 def render_satellite(eph1: eph_mod.EphArrays, prn: int, rx_ecef: np.ndarray,
@@ -119,15 +134,19 @@ def render_satellite(eph1: eph_mod.EphArrays, prn: int, rx_ecef: np.ndarray,
                      amplitude: float = 1.0,
                      grid_step_s: float = 1.0,
                      out: np.ndarray | None = None,
-                     chunk: int = 1 << 21) -> np.ndarray:
+                     chunk: int = 1 << 21,
+                     rx_rows: np.ndarray | None = None) -> np.ndarray:
     """Render one GPS satellite's complex baseband into `out`.
 
     eph1: single-satellite EphArrays (shape-(1,) columns).
     t0_gps: GPS ToW at receiver sample 0.
     bits / bits_t0: LNAV +/-1-valued bits of the data message and the GPS
     time of the first bit's leading edge.
+    rx_rows: optional (t, x, y, z) user motion; overrides the static
+    rx_ecef geometry (gps-sdr-sim -u role).
     """
-    coeffs = _range_fit(eph1, t0_gps, n_samples / fs, rx_ecef, grid_step_s)
+    coeffs = _range_fit(eph1, t0_gps, n_samples / fs, rx_ecef, grid_step_s,
+                        rx_rows=rx_rows)
     _, clk = eph_mod.sat_pos_clock(eph1, np.array([t0_gps]))
     return render_signal(
         coeffs, float(clk[0]), codes_ops.gps_ca_code(prn),
@@ -140,7 +159,8 @@ def simulate_constellation(ephs: Sequence[lnav.Ephemeris],
                            tow0: float, n_samples: int, fs: float,
                            amplitudes: Sequence[float] | None = None,
                            noise_std: float = 0.0, seed: int = 0,
-                           min_elevation_deg: float = 10.0):
+                           min_elevation_deg: float = 10.0,
+                           rx_traj: np.ndarray | None = None):
     """Render a multi-satellite capture + ground truth.
 
     Args:
@@ -148,10 +168,17 @@ def simulate_constellation(ephs: Sequence[lnav.Ephemeris],
       rx_lla: receiver (lat_deg, lon_deg, height_m).
       tow0: GPS ToW at receiver sample 0; nav bits start at the previous
         subframe boundary so decoders see whole subframes.
+      rx_traj: optional (t, x, y, z) user-motion rows
+        (trajectory.linear_trajectory) — a MOVING receiver, the
+        gps-sdr-sim -u mode; overrides rx_lla for the signal geometry
+        (visibility/truths use the trajectory's t=0 point).
       Returns (iq complex128 (n_samples,), truths: list[SatTruth],
       rx_ecef (3,)).
     """
     rx_ecef = pvt.lla_to_ecef(*rx_lla)
+    if rx_traj is not None:
+        rx_traj = np.asarray(rx_traj, np.float64)
+        rx_ecef = _traj_rx(rx_traj, 0.0)[0]
     batch = eph_mod.stack_ephemeris(ephs)
     out = np.zeros(n_samples, dtype=np.complex128)
     truths = []
@@ -173,11 +200,18 @@ def simulate_constellation(ephs: Sequence[lnav.Ephemeris],
         bits01 = lnav.encode_frames(eph, start_tow_s=sf0, n_subframes=n_sf)
         bits = bits01.astype(np.float64) * 2.0 - 1.0
         render_satellite(one, eph.prn, rx_ecef, tow0, n_samples, fs,
-                         bits, sf0, amplitudes[k], out=out)
+                         bits, sf0, amplitudes[k], out=out,
+                         rx_rows=rx_traj)
 
+        # moving receiver: short dt so the truth Doppler is the
+        # INSTANTANEOUS range rate at t0 (the trajectory clamps at the
+        # capture end, so a long quotient would under-read the motion)
+        dt = 0.01 if rx_traj is not None else 0.5
+        rx_dt = (_traj_rx(rx_traj, dt)[0] if rx_traj is not None
+                 else rx_ecef)
         rho0 = geometric_range(one, np.array([tow0]), rx_ecef)[0]
-        rho1 = geometric_range(one, np.array([tow0 + 0.5]), rx_ecef)[0]
-        doppler = -(rho1 - rho0) / 0.5 / C.SPEED_OF_LIGHT * C.GPS_L1_FREQ_HZ
+        rho1 = geometric_range(one, np.array([tow0 + dt]), rx_dt)[0]
+        doppler = -(rho1 - rho0) / dt / C.SPEED_OF_LIGHT * C.GPS_L1_FREQ_HZ
         _, clk = eph_mod.sat_pos_clock(one, np.array([tow0]))
         t_tx0 = tow0 - rho0 / C.SPEED_OF_LIGHT + clk[0]
         cp = (C.GPS_CA_CHIP_RATE_HZ * t_tx0) % C.GPS_CA_CODE_LEN

@@ -184,36 +184,44 @@ def synthetic_gps_shell(n_sats: int = 24, week: int = 2400,
 
 def gps_background(rx_lla, tow0: float, n_samples: int, sample_rate: float,
                    ephs: Sequence | None = None, amplitude: float = 64.0,
-                   seed: int = 0):
+                   seed: int = 0, end_lla=None):
     """Geometry-true GPS baseband in the centered-uint8 digital domain.
 
     The gps-sdr-sim role (`gnss_frontend.py:961-999`): ephemeris-consistent
     code phase / Doppler / nav bits for a receiver at `rx_lla`, scaled to
     `amplitude` digital units per satellite (gps-sdr-sim's 8-bit output).
+    end_lla: optional — a MOVING receiver sweeping linearly rx_lla ->
+    end_lla over the capture (the -u user-motion mode, 10 Hz trajectory).
     Returns (complex64 (n_samples,), truths, rx_ecef).
     """
-    from . import constellation
+    from . import constellation, trajectory
     shell = list(ephs) if ephs is not None else synthetic_gps_shell()
+    traj = None
+    if end_lla is not None:
+        traj = trajectory.linear_trajectory(tuple(rx_lla), tuple(end_lla),
+                                            n_samples / sample_rate)
     sig, truths, rx_ecef = constellation.simulate_constellation(
         shell, tuple(rx_lla), tow0, n_samples, sample_rate,
-        noise_std=0.0, seed=seed)
+        noise_std=0.0, seed=seed, rx_traj=traj)
     return (sig * amplitude).astype(np.complex64), truths, rx_ecef
 
 
 def write_clean_capture(path: str, rx_lla, n_samples: int,
                         sample_rate: float = C.DEFAULT_SAMPLE_RATE_GPS,
                         weaken_gps: bool = True, tow0: float | None = None,
-                        ephs: Sequence | None = None, seed: int = 0) -> None:
+                        ephs: Sequence | None = None, seed: int = 0,
+                        end_lla=None) -> None:
     """Mode A: clean or weakened GPS capture (`gnss_frontend.py:873-999`).
 
     weaken_gps applies the reference's weaken_gps.py contract (x0.125 +
     AWGN sigma=6.25) before the uint8 clip-and-offset serialization.
+    end_lla: moving receiver (mobile mode A, generate_trajectory.py role).
     """
     import jax.numpy as jnp
     if tow0 is None:
         tow0 = DEFAULT_TOE_S - 1.3
     bg, _, _ = gps_background(rx_lla, tow0, n_samples, sample_rate,
-                              ephs=ephs, seed=seed)
+                              ephs=ephs, seed=seed, end_lla=end_lla)
     x = jnp.asarray(bg)
     if weaken_gps:
         x = mix.weaken(x, key=jax.random.PRNGKey(seed + 17))

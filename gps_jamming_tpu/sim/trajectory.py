@@ -8,20 +8,25 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops import geodesy
+from ..models.receiver import pvt
 
 
 def linear_trajectory(start_lla, end_lla, duration_s: float,
                       rate_hz: float = 10.0) -> np.ndarray:
-    """Rows (t, x, y, z): linear LLA sweep converted to ECEF."""
-    n = int(duration_s * rate_hz) + 1
+    """Rows (t, x, y, z): linear LLA sweep converted to ECEF.
+
+    Uses the float64 host conversion — the float32 device twin
+    (ops.geodesy) quantizes ECEF at ~0.4 m, which is fine for jamming
+    power maps but corrupts carrier-phase-level signal rendering.
+    """
+    n = max(int(np.ceil(duration_s * rate_hz)) + 1, 2)
     f = np.linspace(0.0, 1.0, n)
     lat = start_lla[0] + (end_lla[0] - start_lla[0]) * f
     lon = start_lla[1] + (end_lla[1] - start_lla[1]) * f
     alt = start_lla[2] + (end_lla[2] - start_lla[2]) * f
-    x, y, z = geodesy.lla_to_ecef(lat, lon, alt)
-    t = np.arange(n) / rate_hz
-    return np.stack([t, np.asarray(x), np.asarray(y), np.asarray(z)], axis=1)
+    xyz = pvt.lla_to_ecef(lat, lon, alt)                    # (n, 3) float64
+    t = np.linspace(0.0, duration_s, n)
+    return np.concatenate([t[:, None], xyz], axis=1)
 
 
 def write_user_motion_csv(path: str, rows: np.ndarray) -> None:
@@ -33,6 +38,5 @@ def write_user_motion_csv(path: str, rows: np.ndarray) -> None:
 
 def jammer_distances(rows: np.ndarray, jammer_lla) -> np.ndarray:
     """Per-timestep receiver->jammer distance (add_jammer_and_mix.py:79-88)."""
-    jx, jy, jz = geodesy.lla_to_ecef(*jammer_lla)
-    d = rows[:, 1:4] - np.array([float(jx), float(jy), float(jz)])
+    d = rows[:, 1:4] - pvt.lla_to_ecef(*jammer_lla)
     return np.sqrt((d ** 2).sum(axis=1))

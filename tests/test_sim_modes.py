@@ -133,6 +133,55 @@ def test_moving_jammer_profile_peaks_at_closest_approach(tmp_path, capsys):
     assert pc[k] > 4.0 * pc[0] and pc[k] > 4.0 * pc[-1]
 
 
+def test_moving_receiver_range_fit_accuracy():
+    """The quartic range fit for a moving receiver matches the direct
+    per-sample geometry to < 1 cm over a 30 s vehicle-speed sweep."""
+    from gps_jamming_tpu.models.receiver import ephemeris as eph_mod
+    from gps_jamming_tpu.sim import constellation, trajectory
+    shell = scenario.synthetic_gps_shell()
+    tow0 = scenario.DEFAULT_TOE_S - 1.3
+    dur = 30.0
+    # ~185 m in 30 s (~22 km/h) north-east sweep
+    rows = trajectory.linear_trajectory(LLA, (50.0612, 19.9412, 219.0), dur)
+    batch = eph_mod.stack_ephemeris(shell)
+    one = eph_mod.EphArrays(*[c[0:1] for c in batch])
+    coeffs = constellation._range_fit(one, tow0, dur, None, rx_rows=rows)
+    tchk = np.linspace(0.0, dur, 13)
+    rx = constellation._traj_rx(rows, tchk)
+    rho_true = constellation.geometric_range(one, tow0 + tchk, rx)
+    err = np.abs(np.polyval(coeffs, tchk) - rho_true)
+    assert err.max() < 0.01, err.max()
+
+
+def test_moving_receiver_doppler_shift(tmp_path):
+    """A fast-moving receiver's acquisition Doppler differs from the
+    static one by the predicted velocity projection (gps-sdr-sim -u
+    parity at the signal level)."""
+    n = 12 * N_CODE
+    tow0 = scenario.DEFAULT_TOE_S - 1.3
+    stat, truths_s, _ = scenario.gps_background(LLA, tow0, n, FS)
+    # 0.0002 deg over 12 ms is absurdly fast (~2 km/s) — but it makes the
+    # Doppler shift >> one 200 Hz search bin, which is the point
+    mov, truths_m, _ = scenario.gps_background(
+        LLA, tow0, n, FS, end_lla=(LLA[0] + 2e-4, LLA[1], LLA[2]))
+    s_by_prn = {t.prn: t for t in truths_s}
+    shifted = [abs(t.doppler_hz - s_by_prn[t.prn].doppler_hz)
+               for t in truths_m if t.prn in s_by_prn]
+    assert max(shifted) > 400.0, "truth Doppler should reflect rx motion"
+
+    # acquisition on the moving capture recovers the moving truths
+    p = str(tmp_path / "mov.bin")
+    iq.write_iq_file(p, np.asarray(mov) * 0.125)
+    res = _acquire_from_file(p)
+    acq_mask = np.asarray(res.acquired)
+    assert acq_mask.sum() >= 4
+    dop = np.asarray(res.doppler_hz)
+    for t in truths_m:
+        if acq_mask[t.prn - 1]:
+            assert abs(dop[t.prn - 1] - t.doppler_hz) < 150.0, \
+                (t.prn, float(dop[t.prn - 1]), t.doppler_hz)
+
+
 def test_threshold_override_plumbs_into_config():
     class A:
         threshold_db = 9.5
