@@ -77,6 +77,15 @@ def test_cli_simulate_clean_and_spoof(tmp_path, capsys):
     assert meta["scenario"]["kind"] == "clean" and meta["scenario"]["weakened"]
     assert np.fromfile(meta["written"][0], np.uint8).size > 0
 
+    out = str(tmp_path / "mv")
+    rc = cli.main(["simulate", "--kind", "clean", "--out", out,
+                   "--seconds", "0.02", "--antennas", "1",
+                   "--end-lat", "50.062", "--end-lon", "19.941"])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["scenario"]["end_lla"][:2] == [50.062, 19.941]
+    assert np.fromfile(meta["written"][0], np.uint8).size > 0
+
     out = str(tmp_path / "s")
     rc = cli.main(["simulate", "--kind", "spoof", "--out", out,
                    "--seconds", "0.02", "--antennas", "1",
