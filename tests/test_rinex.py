@@ -61,6 +61,26 @@ def test_parse_reference_brdc():
 
 @pytest.mark.skipif(not os.path.exists(REF_NAV),
                     reason="reference corpus not mounted")
+def test_parse_reference_fake_prn_variants():
+    """The spoof-ephemeris corpus (`data/sim_data/*_fake_PRN.25n`, mode C
+    inputs) parses too, and each variant actually differs from the legit
+    broadcast for at least one shared PRN (that's the spoof)."""
+    legit = {e.prn: e for e in rinex.read_nav(REF_NAV)}
+    base = os.path.dirname(REF_NAV)
+    for k in (2, 3, 4):
+        p = os.path.join(base, f"{k}_fake_PRN.25n")
+        if not os.path.exists(p):
+            continue
+        fakes = rinex.read_nav(p)
+        assert len(fakes) >= 10          # the fake files are PRN subsets
+        diff = sum(
+            1 for e in fakes
+            if e.prn in legit and not np.isclose(e.m0, legit[e.prn].m0))
+        assert diff >= 1, f"{k}_fake_PRN.25n identical to brdc?"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_NAV),
+                    reason="reference corpus not mounted")
 def test_acquisition_on_reference_ephemeris_render():
     """Signal-level real-ephemeris parity: a capture rendered from the
     reference's actual IGS broadcast file (the gps-sdr-sim -e input,
