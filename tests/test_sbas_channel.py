@@ -32,6 +32,7 @@ def test_sbas_code_properties():
     assert tbl.shape == (19, 1023)
 
 
+@pytest.mark.slow
 def test_sbas_channel_decodes_mt12():
     week, tow0 = 310, 345600.0
     msgs = [sbas.build_mt12(tow0 + k, week, preamble_idx=k % 3)
