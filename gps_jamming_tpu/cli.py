@@ -249,6 +249,17 @@ def cmd_receiver(args) -> int:
         res = rx_mod.run_receiver(x.astype(np.complex64), args.sample_rate,
                                   system=args.system)
     fix = res.best_fix
+    held = False
+    if args.hold and fix is not None:
+        # gnssdec -h: run every valid fix through the hold filter and
+        # report the (possibly frozen) final position (sdrout.c:141-183)
+        filt = telemetry.HoldPositionFilter()
+        lat, lon, hgt = fix.lat_deg, fix.lon_deg, fix.height_m
+        for f in res.fixes:
+            if f.valid:
+                lat, lon, hgt, held = filt.apply(f.lat_deg, f.lon_deg,
+                                                 f.height_m)
+        fix = fix._replace(lat_deg=lat, lon_deg=lon, height_m=hgt)
     out = {
         "acquired": [
             {"prn": c.prn, "doppler_hz": round(c.doppler_hz, 1),
@@ -265,7 +276,7 @@ def cmd_receiver(args) -> int:
         "fix": None if fix is None else {
             "lat": fix.lat_deg, "lon": fix.lon_deg, "hgt": fix.height_m,
             "gdop": fix.gdop, "clk_bias_m": fix.clock_bias_m,
-            "nsat": fix.nsat},
+            "nsat": fix.nsat, "hold": held},
     }
     print(json.dumps(out, default=_np_default, indent=2))
     return 0
@@ -596,6 +607,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["gps", "glonass", "galileo", "sbas"],
                    help="constellation (the reference's -g/-l/-a modes; "
                         "sbas = PRN 120..138 message channel)")
+    r.add_argument("--hold", action="store_true",
+                   help="hold-position output filter (gnssdec -h)")
     r.add_argument("--streaming", action="store_true",
                    help="segmented receiver with channel health resets + "
                         "re-acquisition (long / jam-interrupted captures)")

@@ -54,6 +54,10 @@ class AcquisitionConfig:
     n_integration: int = 10              # non-coherent code periods (ACQINTG)
     peak_ratio_threshold: float = 3.0    # ACQTH
     exclude_chips: float = 2.0           # second-peak exclusion half-width
+    # 'std' = reference-shaped per-Doppler non-coherent search;
+    # 'pcf' = post-correlation-FFT factorized search (~3.5x faster on TPU,
+    # finer effective grid); 'auto' picks pcf when profitable
+    method: str = "std"
 
     @property
     def n_doppler(self) -> int:

@@ -144,7 +144,8 @@ def run_receiver(x, sample_rate: float,
     else:
         res = acq_mod.acquire_all(blocks, su["replica"], sample_rate,
                                   acq_cfg, code_period_s=su["code_period_s"],
-                                  code_len_chips=su["code_len_chips"])
+                                  code_len_chips=su["code_len_chips"],
+                                  method=getattr(acq_cfg, "method", "std"))
     acquired = np.asarray(res.acquired)
     ratios = np.asarray(res.peak_ratio)
     order = np.argsort(-ratios)

@@ -125,7 +125,8 @@ class StreamingReceiver:
             res = acq_mod.acquire_all(
                 blocks, su["replica"], self.fs, cfg,
                 code_period_s=su["code_period_s"],
-                code_len_chips=su["code_len_chips"])
+                code_len_chips=su["code_len_chips"],
+                method=getattr(cfg, "method", "std"))
         return res
 
     def segment_window_samples(self) -> int:

@@ -133,3 +133,19 @@ def test_full_receiver_position_fix():
     err = np.linalg.norm(fix.pos_ecef - rx_ecef)
     assert err < 30.0, (err, fix.lat_deg, fix.lon_deg, fix.height_m)
     assert abs(fix.height_m - RX_LLA[2]) < 50.0
+
+
+def test_receiver_chain_with_pcf_config():
+    """The AcquisitionConfig.method knob plumbs the PCF search through the
+    full receiver chain: same channels acquired as the std search."""
+    tow0 = TOE + 30.0
+    n = int(0.12 * FS)
+    iq, truths, _ = constellation.simulate_constellation(
+        _shell(), RX_LLA, tow0, n, FS, noise_std=0.3, seed=4)
+    x = iq.astype(np.complex64)
+    res_pcf = receiver.run_receiver(
+        x, FS, acq_cfg=AcquisitionConfig(method="pcf"), max_channels=6)
+    prns_pcf = {c.prn for c in res_pcf.channels if c.acquired}
+    sim_prns = {t.prn for t in truths}
+    assert len(prns_pcf) >= 4
+    assert prns_pcf <= sim_prns, prns_pcf - sim_prns
