@@ -57,7 +57,8 @@ def cmd_detect(args) -> int:
         args.files, antenna_positions=positions,
         cfg=_config_with_overrides(args),
         run_receiver=not args.no_receiver, localize=not args.no_localize,
-        max_seconds=args.max_seconds, system=args.system, hold=args.hold)
+        max_seconds=args.max_seconds, system=args.system, hold=args.hold,
+        sample_rate=args.sample_rate)
     out = {
         "power_ranges_bytes": res.power_ranges,
         "events": res.events,
@@ -347,9 +348,14 @@ def cmd_report(args) -> int:
         cfg=_config_with_overrides(args),
         run_receiver=not args.no_receiver, localize=True,
         max_seconds=args.max_seconds, system=args.system,
-        hold=getattr(args, "hold", False))
+        hold=getattr(args, "hold", False),
+        sample_rate=getattr(args, "sample_rate", None))
     os.makedirs(args.out, exist_ok=True)
-    fs = CFG.frontend.sample_rate_hz
+    from .config import FrontendConfig, GnssSystem
+    fs = (args.sample_rate if getattr(args, "sample_rate", None)
+          else FrontendConfig.for_system(
+              GnssSystem.GLONASS).sample_rate_hz
+          if args.system == "glonass" else CFG.frontend.sample_rate_hz)
 
     raw_u8 = np.fromfile(args.files[0], dtype=np.uint8,
                          count=2 * int(fs * (args.max_seconds or 4.0)))
@@ -494,6 +500,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--hold", action="store_true",
                    help="freeze reported position on >1 deg jumps "
                         "(the reference's -h flag)")
+    d.add_argument("--sample-rate", type=float,
+                   help="capture rate [Hz]; default = per-system "
+                        "(2.048e6 GPS/Galileo, 10e6 GLONASS)")
     d.set_defaults(fn=cmd_detect)
 
     loc = sub.add_parser("localize", help="RSSI + TDOA localization")
@@ -584,6 +593,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="F1 power-rise threshold over baseline [dB]")
     rp.add_argument("--hold", action="store_true",
                     help="freeze reported position on >1 deg jumps")
+    rp.add_argument("--sample-rate", type=float,
+                    help="capture rate [Hz]; default = per-system")
     rp.set_defaults(fn=cmd_report)
 
     sv = sub.add_parser("serve", help="live web dashboard (GUI, no Qt)")

@@ -286,19 +286,21 @@ def run_detector(frames: TelemetryFrames, ranges: np.ndarray, n_ranges: int,
               jnp.asarray(np.asarray(frames.nsat), jnp.float32))
         final, trace = jax.lax.scan(step, init_state(cfg), xs)
 
-        # close trailing open event
-        last_t = time_s[-1]
-        last_b = buffcnt[-1]
-        ev = jnp.stack([final.active_start_buffcnt.astype(jnp.float64),
-                        last_b.astype(jnp.float64),
-                        final.active_start_t, last_t])
-        events = jnp.where(
-            final.jamming,
-            final.events.at[final.n_events % MAX_EVENTS].set(ev),
-            final.events)
-        n_events = jnp.where(final.jamming, final.n_events + 1,
-                             final.n_events)
-        final = final._replace(events=events, n_events=n_events)
+        # close trailing open event (no-op on an empty stream — a capture
+        # shorter than one 100 ms telemetry frame has nothing to close)
+        if time_s.shape[0] > 0:
+            last_t = time_s[-1]
+            last_b = buffcnt[-1]
+            ev = jnp.stack([final.active_start_buffcnt.astype(jnp.float64),
+                            last_b.astype(jnp.float64),
+                            final.active_start_t, last_t])
+            events = jnp.where(
+                final.jamming,
+                final.events.at[final.n_events % MAX_EVENTS].set(ev),
+                final.events)
+            n_events = jnp.where(final.jamming, final.n_events + 1,
+                                 final.n_events)
+            final = final._replace(events=events, n_events=n_events)
         final = jax.tree.map(np.asarray, jax.device_get(final))
         trace = jax.tree.map(np.asarray, jax.device_get(trace))
     return final, trace

@@ -103,7 +103,8 @@ def analyze_capture(paths: Sequence[str],
                     localize: bool = True,
                     max_seconds: float | None = None,
                     system: str = "gps",
-                    hold: bool = False) -> AnalysisResult:
+                    hold: bool = False,
+                    sample_rate: float | None = None) -> AnalysisResult:
     """Analyze 1-3 antenna captures end to end (start_analysis flow,
     ui_mainwindow.py:653 -> worker.py:477-547).
 
@@ -114,9 +115,18 @@ def analyze_capture(paths: Sequence[str],
     hold: freeze the REPORTED position while the fix is held (the
     reference's -h hold-position filter, sdrout.c:141-183); when False
     the telemetry still carries the hold flag but reports the raw fix.
+    sample_rate: capture sample rate override; default = the per-system
+    front-end rate (2.048 MS/s GPS/Galileo, 10 MS/s GLONASS — the GUI's
+    per-system params, ui_mainwindow.py:60-77 / sdrinit.c:3-13).
     """
     t_start = time.time()
-    fs = cfg.frontend.sample_rate_hz
+    if sample_rate is not None:
+        fs = float(sample_rate)
+    elif system == "glonass":
+        from ..config import FrontendConfig, GnssSystem
+        fs = FrontendConfig.for_system(GnssSystem.GLONASS).sample_rate_hz
+    else:
+        fs = cfg.frontend.sample_rate_hz
     n_epoch = int(round(fs * 1e-3))
 
     raw = np.fromfile(paths[0], dtype=np.uint8)

@@ -199,6 +199,31 @@ def test_threshold_override_plumbs_into_config():
     assert CFG.detector.power_rise_db == 6.0     # default untouched
 
 
+def test_detect_per_system_sample_rate(tmp_path):
+    """analyze_capture resolves the per-system front-end rate (10 MS/s
+    GLONASS, sdrinit.c:6-9) and honors an explicit override — event byte
+    ranges scale with the true rate."""
+    from gps_jamming_tpu.runtime import pipeline
+    fs10 = 10e6
+    n = 8 * 32768
+    rng = np.random.default_rng(0)
+    x = (rng.normal(0, 2.0, n) + 1j * rng.normal(0, 2.0, n)).astype(
+        np.complex64)
+    # hot middle chunk -> one F1 range
+    x[3 * 32768: 5 * 32768] *= 8.0
+    p = str(tmp_path / "g.bin")
+    iq.write_iq_file(p, x * 10.0)
+    res = pipeline.analyze_capture([p], run_receiver=False, localize=False,
+                                   system="glonass")
+    assert res.power_ranges, "power pre-scan missed the hot window"
+    # frames are 100 ms -> at 10 MS/s this capture is ~26 ms => 0 frames,
+    # while a (wrong) 2.048 MS/s read would span ~128 ms => >0 frames
+    assert len(np.asarray(res.flags_trace["f1"])) == 0
+    res2 = pipeline.analyze_capture([p], run_receiver=False, localize=False,
+                                    system="glonass", sample_rate=2.048e6)
+    assert len(np.asarray(res2.flags_trace["f1"])) >= 1
+
+
 def test_hold_filter_substitution():
     """analyze_capture(hold=True) reports the held position on >1 deg
     jumps — sdrout.c:141-183 semantics (reference -h flag)."""
