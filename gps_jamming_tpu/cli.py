@@ -189,11 +189,11 @@ def cmd_spectrum(args) -> int:
 
     from .config import DEFAULT_CONFIG as CFG
     from .ops import iq, spectral
+    fs_in = args.sample_rate or CFG.frontend.sample_rate_hz
     x = iq.read_iq_file(args.file, convention="normalized",
-                        count=(int(args.max_seconds
-                                   * CFG.frontend.sample_rate_hz) * 2
+                        count=(int(args.max_seconds * fs_in) * 2
                                if args.max_seconds else -1))
-    fs = CFG.frontend.sample_rate_hz
+    fs = fs_in
     # 1 s chunks (widmo_plot.py:9-10), clamped for short captures
     chunk = min(int(fs), x.size)
     sg = np.asarray(spectral.spectrogram(jnp.asarray(x), fs, chunk,
@@ -561,6 +561,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("file")
     sp.add_argument("--out", help="write .npz here")
     sp.add_argument("--max-seconds", type=float)
+    sp.add_argument("--sample-rate", type=float,
+                    help="capture rate [Hz], default 2.048e6")
     sp.set_defaults(fn=cmd_spectrum)
 
     c = sub.add_parser("calibrate", help="standalone threshold calibration")
