@@ -96,7 +96,8 @@ def cmd_localize(args) -> int:
     if not args.no_tdoa and len(args.files) >= 2:
         caps_c = [(iq.read_iq_file(p, convention="centered"))
                   for p in args.files]
-        td = tdoa.localize(caps_c, positions, CFG.frontend.sample_rate_hz,
+        td = tdoa.localize(caps_c, positions,
+                           args.sample_rate or CFG.frontend.sample_rate_hz,
                            cfg=CFG.tdoa)
         td.pop("onsets", None)
         out["tdoa"] = td
@@ -509,6 +510,8 @@ def build_parser() -> argparse.ArgumentParser:
     loc.add_argument("files", nargs="+")
     loc.add_argument("--positions")
     loc.add_argument("--no-tdoa", action="store_true")
+    loc.add_argument("--sample-rate", type=float,
+                     help="capture rate [Hz], default 2.048e6 (TDOA lags)")
     loc.set_defaults(fn=cmd_localize)
 
     s = sub.add_parser(
