@@ -84,31 +84,45 @@ def grid_search(positions: jax.Array, radii: jax.Array,
     return jnp.stack([xs[ix], ys[iy]])
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _top_k_minima_scan(err: jax.Array, xs: jax.Array, ys: jax.Array,
+                       k: int, min_separation_m: float):
+    """Greedy k-round suppression, fully on device: each round takes the
+    lowest remaining error point and masks everything within
+    min_separation of it. Round n therefore yields exactly the n-th pick
+    of the reference's sorted-candidate scan (triangulateRSSIplot.py:64-99)
+    — the minimum-error point >= min_separation from all earlier picks —
+    with no host loop over grid candidates (O(k * grid) vector ops)."""
+    g = err.shape[0]
+    cx = jnp.tile(xs, g)                        # flat idx = iy * g + ix
+    cy = jnp.repeat(ys, g)
+    sep2 = jnp.float32(min_separation_m) ** 2
+
+    def round_(flat, _):
+        i = jnp.argmin(flat)
+        e = flat[i]
+        px, py = cx[i], cy[i]
+        kill = (cx - px) ** 2 + (cy - py) ** 2 < sep2
+        return jnp.where(kill, jnp.inf, flat), (px, py, e)
+
+    _, (px, py, e) = jax.lax.scan(round_, err.reshape(-1).astype(jnp.float32),
+                                  None, length=k)
+    return jnp.stack([px, py], axis=1), e
+
+
 def top_k_minima(err: jax.Array, xs: jax.Array, ys: jax.Array,
                  k: int = 8, min_separation_m: float = 5.0):
     """Top-k distinct local minima of the error surface, >= min_separation
-    apart (triangulateRSSIplot.py:64-99). Host-side loop over k (tiny)."""
-    g = err.shape[0]
-    flat = err.reshape(-1)
-    order = jnp.argsort(flat)
-    cx = xs[order % g]
-    cy = ys[order // g]
-    cands = jnp.stack([cx, cy], axis=1)       # sorted by error
-
-    picked = np.full((k, 2), np.nan)
-    picked_err = np.full(k, np.nan)
-    cands_np = np.asarray(cands)
-    errs_np = np.asarray(flat)[np.asarray(order)]
-    n = 0
-    for i in range(cands_np.shape[0]):
-        if n >= k:
-            break
-        p = cands_np[i]
-        if n == 0 or np.min(np.linalg.norm(picked[:n] - p, axis=1)) >= min_separation_m:
-            picked[n] = p
-            picked_err[n] = errs_np[i]
-            n += 1
-    return picked[:n], picked_err[:n]
+    apart (triangulateRSSIplot.py:64-99). Device-side greedy suppression
+    (see _top_k_minima_scan); rounds that found no remaining finite point
+    (error == inf) are trimmed."""
+    picked, errs = _top_k_minima_scan(err, jnp.asarray(xs, jnp.float32),
+                                      jnp.asarray(ys, jnp.float32),
+                                      k, min_separation_m)
+    picked = np.asarray(picked)
+    errs = np.asarray(errs)
+    n = int(np.sum(np.isfinite(errs)))
+    return picked[:n], errs[:n]
 
 
 def triangulate(file_iqs: Sequence[jax.Array],
