@@ -38,6 +38,10 @@ class PvtSolution(NamedTuple):
     valid: bool
     innovations_m: np.ndarray | None = None   # (n_sat,) EKF pre-fit
     vel_ecef: np.ndarray | None = None        # (3,) EKF velocity estimate
+    prns: np.ndarray | None = None            # (n_sat,) sat ids per row —
+    # set by the caller (which knows the channel list) so telemetry can map
+    # residual/az/el/innovation rows back to satellites (the obs_v prn
+    # column of sdrsync.c:97-124 that sdrout.c:213-325 reports per sat)
 
 
 def lla_to_ecef(lat_deg, lon_deg, h_m) -> np.ndarray:

@@ -280,6 +280,8 @@ def run_receiver(x, sample_rate: float,
                 sol = pvt.solve_wls(pos, pr, clk, mask=mask, x0=x0)
                 if ekf is not None and sol.valid:
                     ekf.initialize(sol)
+            sol = sol._replace(
+                prns=np.array([ch.prn for ch in live]))
             fixes.append(sol)
             fix_epochs.append(int(round(m * su["epoch_ms"])))
             if sol.valid:

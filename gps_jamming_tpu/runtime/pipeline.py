@@ -95,6 +95,54 @@ def build_telemetry_frames(res: rx_mod.ReceiverResult, n_epochs: int,
         nsat=nsat.astype(np.float32))
 
 
+def _week_adjust(system: str) -> int:
+    """10-bit GPS week rollover / GST WN offset -> full GPS week (the same
+    adjustment the PVT path applies before the precheck week gate)."""
+    return {"gps": 2048, "galileo": 1024}.get(system, 0)
+
+
+def frame_observations(res: "rx_mod.ReceiverResult", frame_ms: int,
+                       fix) -> list[dict]:
+    """Per-satellite observation rows for one telemetry frame.
+
+    The reference emits observations[{prn,tow,week,snr,doppler,az,el,
+    residual,innovation}] in every 100 ms record (sdrout.c:213-325, built
+    from the obs_v matrix sdrsync.c:97-124); the per-PRN analysis harness
+    (analiza_wielo.py / wyniki/doppler.py — P24) consumes exactly these
+    rows. Here: snr/doppler/tow come from the channel's decoded epoch
+    series, az/el/residual/innovation from the frame's current PVT
+    solution (mapped back by PvtSolution.prns).
+    """
+    rows: list[dict] = []
+    if res is None:
+        return rows
+    fix_prns = (list(np.asarray(fix.prns)) if fix is not None
+                and fix.prns is not None else [])
+    wk_adj = _week_adjust(res.system)
+    for c in res.channels:
+        obs = c.obs
+        if obs is None:
+            continue
+        e = min(int(frame_ms / res.epoch_ms), obs.cn0_dbhz.size - 1,
+                obs.chips.size - 1)
+        az = el = resid = innov = 0.0
+        if c.prn in fix_prns:
+            k = fix_prns.index(c.prn)
+            az = float(fix.azimuth_deg[k])
+            el = float(fix.elevation_deg[k])
+            resid = float(fix.residuals_m[k])
+            if fix.innovations_m is not None:
+                innov = float(fix.innovations_m[k])
+        week = int(getattr(obs.eph, "week", 0) or 0)
+        rows.append(telemetry.make_observation(
+            prn=c.prn, tow=float(obs.transmit_time(e)),
+            week=week + wk_adj if week else 0,
+            snr=float(obs.cn0_dbhz[e]),
+            doppler=float(obs.doppler_hz[min(e, obs.doppler_hz.size - 1)]),
+            az=az, el=el, residual=resid, innovation=innov))
+    return rows
+
+
 def analyze_capture(paths: Sequence[str],
                     antenna_positions: Sequence[tuple[float, float]]
                     | None = None,
@@ -184,7 +232,8 @@ def analyze_capture(paths: Sequence[str],
                 time_s=float(frames.time_s[f]),
                 buffcnt=int(frames.buffcnt[f]),
                 acq_prns=acq_prns, tracked_prns=trk, decoded_prns=dec,
-                fix=fix, hold=is_hold, filter_name=res.filter_name)
+                fix=fix, hold=is_hold, filter_name=res.filter_name,
+                observations=frame_observations(res, m, fix))
             log.append(rec)
             if fix is not None and f < jam_trace.size and not jam_trace[f]:
                 last_safe = {"lat": fix.lat_deg, "lon": fix.lon_deg,

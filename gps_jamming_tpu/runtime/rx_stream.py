@@ -455,6 +455,7 @@ class StreamingReceiver:
             if mask.sum() < 4:
                 continue
             sol = pvt.solve_wls(pos, pr, clk, mask=mask)
+            sol = sol._replace(prns=np.array([ch.prn for ch in chs]))
             fixes.append(sol)
             fix_epochs.append(int(round(m * su["epoch_ms"])))
 

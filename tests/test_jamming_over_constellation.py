@@ -79,6 +79,26 @@ def test_jamming_detected_with_power_and_cn0_flags(tmp_path):
     assert f2[jam_frames].any(), "C/N0-drop flag never fired during jamming"
     assert not f2[pre_frames].any(), "false C/N0-drop before jamming"
 
+    # per-satellite observations[] ship in the product telemetry and feed
+    # the P24 per-PRN harness (sdrout.c:213-325 / analiza_wielo.py roles)
+    from gps_jamming_tpu.utils import analysis
+    obs_keys = {"prn", "tow", "week", "snr", "doppler", "az", "el",
+                "residual", "innovation"}
+    recs = res.telemetry.records
+    n_obs = sum(len(r["observations"]) for r in recs)
+    assert n_obs > 0, "pipeline telemetry carries no observations"
+    for r in recs:
+        for o in r["observations"]:
+            assert obs_keys <= set(o)
+    series = analysis.per_prn_series(recs)
+    assert len(series) >= 4
+    some = next(iter(series.values()))
+    assert some["snr"].size > 10 and np.all(np.isfinite(some["doppler"]))
+    # geometry columns populated on frames with a fix
+    fixed = [o for r in recs if r["position"]["nsat"] >= 4
+             for o in r["observations"]]
+    assert any(o["el"] > 0 for o in fixed), "el never set from PVT fix"
+
     # receiver delivered a valid fix from the clean leading segment
     assert res.receiver is not None
     pre_fixes = [f for f, m in zip(res.receiver.fixes,

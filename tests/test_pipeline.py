@@ -137,3 +137,68 @@ def test_cli_simulate_and_spectrum(tmp_path):
     assert abs(out["peak_freq_mhz"] - 0.1) < 0.02
     npz = np.load(str(tmp_path / "psd.npz"))
     assert npz["spectrogram_db"].shape[1] == 1024
+
+
+def _fake_receiver_result():
+    """Minimal ReceiverResult: one tracked+decoded channel and one fix."""
+    import types
+
+    from gps_jamming_tpu.models.receiver import observables
+    from gps_jamming_tpu.models.receiver.pvt import PvtSolution
+    from gps_jamming_tpu.models.receiver.receiver import (ChannelResult,
+                                                          ReceiverResult)
+    n_ep = 1000
+    obs = observables.ChannelObservables(
+        prn=7, eph=types.SimpleNamespace(week=352, complete=True),
+        chips=np.arange(n_ep, dtype=np.float64) * 1023.0,
+        anchor_chip=0.0, anchor_tow=345600.0,
+        cn0_dbhz=np.full(n_ep, 44.0, np.float32),
+        doppler_hz=np.full(n_ep, 1250.0, np.float32),
+        sync_quality=1.0, sample_offset=0.0, epoch_samples=2048)
+    ch = ChannelResult(prn=7, acquired=True, doppler_hz=1250.0,
+                       code_phase_samples=10.0, peak_ratio=5.0,
+                       cn0_dbhz=44.0, obs=obs)
+    sol = PvtSolution(
+        pos_ecef=np.zeros(3), clock_bias_m=3.0, lat_deg=50.0, lon_deg=19.9,
+        height_m=210.0, gdop=2.1, residuals_m=np.array([4.5]),
+        azimuth_deg=np.array([123.0]), elevation_deg=np.array([41.0]),
+        nsat=1, valid=True, innovations_m=np.array([1.25]),
+        prns=np.array([7]))
+    return ReceiverResult([ch], [sol], [200], "gps", 1.0)
+
+
+def test_frame_observations_rows_and_per_prn_series():
+    """Per-satellite observations[] populate telemetry records and feed
+    the P24 per-PRN analysis harness (VERDICT r3 missing item 1;
+    sdrout.c:213-325 / worker.py:304-318 contract)."""
+    from gps_jamming_tpu.utils import analysis
+
+    res = _fake_receiver_result()
+    fix = res.fixes[0]
+    rows = pipeline.frame_observations(res, 500, fix)
+    assert len(rows) == 1
+    o = rows[0]
+    assert o["prn"] == 7
+    assert o["snr"] == pytest.approx(44.0)
+    assert o["doppler"] == pytest.approx(1250.0)
+    assert o["week"] == 352 + 2048            # rollover-adjusted full week
+    assert o["tow"] == pytest.approx(345600.0 + 500 * 1023.0 / 1.023e6)
+    assert o["az"] == pytest.approx(123.0)
+    assert o["el"] == pytest.approx(41.0)
+    assert o["residual"] == pytest.approx(4.5)
+    assert o["innovation"] == pytest.approx(1.25)
+
+    # no-fix frame: channel row still present, geometry columns zero
+    o2 = pipeline.frame_observations(res, 500, None)[0]
+    assert o2["snr"] == pytest.approx(44.0) and o2["az"] == 0.0
+
+    # the loop closes: records built from these rows replay through the
+    # reference-twin per-PRN harness (analiza_wielo.py role)
+    recs = [telemetry.make_record(0.1 * (i + 1), 0.0, 1000 * (i + 1),
+                                  observations=pipeline.frame_observations(
+                                      res, 100 * (i + 1), fix))
+            for i in range(5)]
+    series = analysis.per_prn_series(recs)
+    assert set(series) == {7}
+    assert series[7]["snr"].shape == (5,)
+    np.testing.assert_allclose(series[7]["doppler"], 1250.0)
