@@ -117,10 +117,13 @@ def sharded_psd_and_power(blocks, mesh, sample_rate: float,
 
 def sharded_caf_acquire(blocks, mesh, replica_fft_conj: cplx.CArray,
                         doppler_hz: np.ndarray, sample_rate: float, *,
-                        precision: str | None = None):
+                        precision: str | None = None,
+                        method: str = "std",
+                        max_doppler_hz: float = 7000.0,
+                        group_blocks: int | None = None):
     """Sharded non-coherent CAF acquisition over an ('antenna','time') mesh.
 
-    The multi-chip form of `ops.caf.caf_accumulate` (the reference's
+    The multi-chip form of the acquisition search (the reference's
     `sdraqcuisition` intg-fold loop, sdracq.c:15-27): each time shard
     accumulates CAF power over its local integration blocks (one fused
     Pallas kernel per shard on TPU), `psum` along TIME completes the
@@ -129,6 +132,24 @@ def sharded_caf_acquire(blocks, mesh, replica_fft_conj: cplx.CArray,
     reference's per-receiver HTTP fan-in (worker.py:567-611 + sdrout.c:10-57)
     for multi-antenna acquisition/TDOA fusion.
 
+    method:
+      'std' — `ops.caf.caf_accumulate`, one row per (Doppler bin x block)
+        over the explicit `doppler_hz` grid; blocks sum non-coherently, so
+        any time split is exact.
+      'pcf' — the shipping post-correlation-FFT factorized search
+        (`ops.caf.caf_accumulate_pcf`, the single-chip default since r3).
+        COHERENT-GROUP BOUNDARY CONTRACT: blocks inside one coherent
+        group (length `group_blocks`) must live on ONE time shard — the
+        group's coherent sum picks up a shard-local index phase
+        e^(j*2*pi*f*b0*T) which cancels in |.|^2 only if the whole group
+        is local. Each shard therefore computes whole-group powers
+        (n_groups_local = blocks_local / group_blocks) and `psum` along
+        TIME adds the NON-coherent group powers, exactly reproducing the
+        single-device surface. `group_blocks` must divide every shard's
+        local block count (default: all local blocks = one group per
+        shard); `doppler_hz` is ignored — the axis is
+        `ops.caf.pcf_doppler_hz(sample_rate, n_code, max_doppler_hz)`.
+
     Args:
       blocks: (n_antenna, n_time_shards, block_len) complex or planar
         CArray; block_len must be a multiple of the replica length (each
@@ -136,7 +157,7 @@ def sharded_caf_acquire(blocks, mesh, replica_fft_conj: cplx.CArray,
       mesh: ('antenna', 'time') Mesh (parallel.mesh.make_mesh).
       replica_fft_conj: (n_prn, n_code) conj(FFT(replica)) CArray with
         HOST numpy planes (keeps the per-shard fused-Pallas dispatch).
-      doppler_hz: (n_freq,) numpy Doppler bins.
+      doppler_hz: (n_freq,) numpy Doppler bins (method='std' only).
 
     Returns float32 (n_antenna, n_prn, n_freq, n_code), replicated across
     the mesh.
@@ -147,12 +168,25 @@ def sharded_caf_acquire(blocks, mesh, replica_fft_conj: cplx.CArray,
     if xp.shape[-1] % n_code:
         raise ValueError(f"block_len {xp.shape[-1]} not a multiple of the "
                          f"replica length {n_code}")
+    gb = ((xp.shape[-1] // n_code) if group_blocks is None
+          else int(group_blocks))
 
     def kernel(local: cplx.CArray):        # local: (1, shards_local, L)
         x2 = local.reshape(-1, n_code)     # integration blocks on this shard
         from ..ops import caf as caf_ops
-        surf = caf_ops.caf_accumulate(x2, replica_fft_conj, doppler_hz,
-                                      sample_rate, precision=precision)
+        if method == "pcf":
+            if x2.shape[0] % gb:           # static shape: trace-time check
+                raise ValueError(
+                    f"group_blocks {gb} must divide the {x2.shape[0]} "
+                    f"integration blocks on each time shard (coherent "
+                    f"groups cannot straddle shard boundaries)")
+            surf = caf_ops.caf_accumulate_pcf(
+                x2, replica_fft_conj, sample_rate,
+                max_doppler_hz=max_doppler_hz,
+                n_groups=x2.shape[0] // gb)
+        else:
+            surf = caf_ops.caf_accumulate(x2, replica_fft_conj, doppler_hz,
+                                          sample_rate, precision=precision)
         surf = jax.lax.psum(surf, TIME_AXIS)           # (n_prn, nf, n_code)
         return jax.lax.all_gather(surf, ANTENNA_AXIS)  # (n_ant, ...)
 

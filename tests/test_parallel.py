@@ -145,3 +145,59 @@ def test_sharded_psd_matches_unsharded(rng):
         np.asarray(power_ops.chunk_power(jnp.asarray(s), 2048))
         for s in streams])
     np.testing.assert_allclose(np.asarray(pm), want_pm, rtol=1e-5)
+
+
+def test_sharded_pcf_caf_matches_unsharded(rng):
+    """The shipping PCF factorized acquisition on the mesh: per-shard
+    whole-coherent-group powers psum'd along time == single-device
+    caf_accumulate_pcf on the same blocks (the coherent-group boundary
+    contract: the shard-local index phase cancels in |.|^2 only for
+    whole groups, so exactness here proves the contract holds)."""
+    from gps_jamming_tpu.ops import caf as caf_ops
+    from gps_jamming_tpu.ops import codes, cplx
+
+    fs = 2.048e6
+    n_code = 512
+    n_ant, n_time = 2, 4
+    group_blocks = 2               # 5 ms-style coherent groups, 1/shard
+    block = group_blocks * n_code
+    n = n_time * block
+    streams = (rng.standard_normal((n_ant, n)) +
+               1j * rng.standard_normal((n_ant, n))).astype(np.complex64)
+
+    rep = codes.sampled_code_fft_conj(codes.gps_ca_table()[:8], 1.023e6,
+                                      fs, n_code)
+    m = mesh_lib.make_mesh(n_ant, n_time)
+    blk = jnp.asarray(fusion.shard_blocks(streams, n_ant, n_time, block))
+    surf = fusion.sharded_caf_acquire(blk, m, rep, None, fs,
+                                      method="pcf", max_doppler_hz=7000.0,
+                                      group_blocks=group_blocks)
+    dopp = caf_ops.pcf_doppler_hz(fs, n_code, 7000.0)
+    assert surf.shape == (n_ant, 8, dopp.size, n_code)
+
+    n_blocks_total = n // n_code
+    for a in range(n_ant):
+        want = np.asarray(caf_ops.caf_accumulate_pcf(
+            cplx.asarray(jnp.asarray(streams[a].reshape(-1, n_code))),
+            rep, fs, max_doppler_hz=7000.0,
+            n_groups=n_blocks_total // group_blocks))
+        np.testing.assert_allclose(np.asarray(surf[a]), want, rtol=2e-4,
+                                   atol=1e-3 * want.max())
+
+
+def test_sharded_pcf_rejects_straddling_groups(rng):
+    """A group length that does not divide the per-shard block count must
+    be rejected (it would silently break coherence across the boundary)."""
+    import pytest
+
+    from gps_jamming_tpu.ops import codes
+
+    fs = 2.048e6
+    n_code = 512
+    rep = codes.sampled_code_fft_conj(codes.gps_ca_table()[:4], 1.023e6,
+                                      fs, n_code)
+    m = mesh_lib.make_mesh(2, 4)
+    blk = jnp.zeros((2, 4, 3 * n_code), jnp.complex64)
+    with pytest.raises(ValueError, match="group_blocks"):
+        fusion.sharded_caf_acquire(blk, m, rep, None, fs, method="pcf",
+                                   group_blocks=2)
