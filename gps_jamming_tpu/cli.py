@@ -58,7 +58,8 @@ def cmd_detect(args) -> int:
         cfg=_config_with_overrides(args),
         run_receiver=not args.no_receiver, localize=not args.no_localize,
         max_seconds=args.max_seconds, system=args.system, hold=args.hold,
-        sample_rate=args.sample_rate)
+        sample_rate=args.sample_rate, pvt_filter=args.filter,
+        streaming=not args.batch_receiver)
     out = {
         "power_ranges_bytes": res.power_ranges,
         "events": res.events,
@@ -234,22 +235,29 @@ def cmd_receiver(args) -> int:
     from .models.receiver import receiver as rx_mod
     from .ops import iq
     from .runtime import telemetry
-    x = iq.read_iq_file(args.file, convention="centered",
-                        count=(int(args.max_seconds * args.sample_rate) * 2
-                               if args.max_seconds else -1))
     if args.streaming and args.system == "sbas":
         print("--streaming supports gps/galileo/glonass (SBAS is a "
               "message channel, no PVT to stream)", file=sys.stderr)
         return 2
     if args.streaming:
+        # bounded-HBM file streaming: device holds ONE segment window
+        # (segment_window_samples()) regardless of capture length
         from .runtime import rx_stream
         srx = rx_stream.StreamingReceiver(
             args.sample_rate, system=args.system,
-            segment_s=args.segment_seconds)
-        res = srx.process(x.astype(np.complex64))
+            segment_s=args.segment_seconds, pvt_filter=args.filter)
+        max_seg = (None if args.max_seconds is None
+                   else max(int(args.max_seconds / args.segment_seconds), 1))
+        res = srx.process_file(args.file, convention="centered",
+                               max_segments=max_seg)
     else:
+        x = iq.read_iq_file(args.file, convention="centered",
+                            count=(int(args.max_seconds
+                                       * args.sample_rate) * 2
+                                   if args.max_seconds else -1))
         res = rx_mod.run_receiver(x.astype(np.complex64), args.sample_rate,
-                                  system=args.system)
+                                  system=args.system,
+                                  pvt_filter=args.filter)
     fix = res.best_fix
     held = False
     if args.hold and fix is not None:
@@ -274,6 +282,7 @@ def cmd_receiver(args) -> int:
         "messages": [
             {"prn": c.prn, "mt": m.mt, "tow_s": m.tow_s, "week": m.week}
             for c in res.channels for m in (c.messages or [])],
+        "filter": res.filter_name,
         "n_fixes": len([f for f in res.fixes if f.valid]),
         "fix": None if fix is None else {
             "lat": fix.lat_deg, "lon": fix.lon_deg, "hgt": fix.height_m,
@@ -350,7 +359,9 @@ def cmd_report(args) -> int:
         run_receiver=not args.no_receiver, localize=True,
         max_seconds=args.max_seconds, system=args.system,
         hold=getattr(args, "hold", False),
-        sample_rate=getattr(args, "sample_rate", None))
+        sample_rate=getattr(args, "sample_rate", None),
+        pvt_filter=getattr(args, "filter", "wls"),
+        streaming=not getattr(args, "batch_receiver", False))
     os.makedirs(args.out, exist_ok=True)
     from .config import FrontendConfig, GnssSystem
     fs = (args.sample_rate if getattr(args, "sample_rate", None)
@@ -456,11 +467,16 @@ def cmd_info(args) -> int:
 
 
 def cmd_benchmark(args) -> int:
-    """Single-chip flagship throughput and/or weak-scaling sweep."""
+    """Single-chip flagship throughput, receiver-chain throughput per
+    constellation, and/or weak-scaling sweep."""
     from .runtime import benchmarks
     out = {}
-    if not args.no_single:
+    if not args.no_single and not args.receiver:
         out["single_chip"] = benchmarks.single_chip()
+    if args.receiver:
+        out["receiver_chain"] = [
+            benchmarks.receiver_chain(sys_, seconds=args.seconds)
+            for sys_ in args.receiver.split(",")]
     if args.scaling:
         counts = [int(v) for v in args.scaling.split(",")]
         out["weak_scaling"] = benchmarks.weak_scaling(
@@ -504,6 +520,14 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--sample-rate", type=float,
                    help="capture rate [Hz]; default = per-system "
                         "(2.048e6 GPS/Galileo, 10e6 GLONASS)")
+    d.add_argument("--filter", default="wls", choices=["wls", "ekf"],
+                   help="PVT filter: wls (blsFilter parity) or ekf — "
+                        "the 8-state coasting EKF the reference reserves "
+                        "but leaves empty (sdrpvt.c:85-88)")
+    d.add_argument("--batch-receiver", action="store_true",
+                   help="use the acquire-once whole-capture receiver "
+                        "instead of the default self-healing streaming "
+                        "receiver (short clean captures only)")
     d.set_defaults(fn=cmd_detect)
 
     loc = sub.add_parser("localize", help="RSSI + TDOA localization")
@@ -600,6 +624,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="freeze reported position on >1 deg jumps")
     rp.add_argument("--sample-rate", type=float,
                     help="capture rate [Hz]; default = per-system")
+    rp.add_argument("--filter", default="wls", choices=["wls", "ekf"],
+                    help="PVT filter: wls (blsFilter parity) or ekf — "
+                        "the 8-state coasting EKF the reference reserves "
+                        "but leaves empty (sdrpvt.c:85-88)")
     rp.set_defaults(fn=cmd_report)
 
     sv = sub.add_parser("serve", help="live web dashboard (GUI, no Qt)")
@@ -629,6 +657,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="segmented receiver with channel health resets + "
                         "re-acquisition (long / jam-interrupted captures)")
     r.add_argument("--segment-seconds", type=float, default=4.0)
+    r.add_argument("--filter", default="wls", choices=["wls", "ekf"],
+                   help="PVT filter: wls (blsFilter parity) or ekf — "
+                        "the 8-state coasting EKF the reference reserves "
+                        "but leaves empty (sdrpvt.c:85-88)")
     r.set_defaults(fn=cmd_receiver)
 
     an = sub.add_parser(
@@ -649,6 +681,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="backend for the scaling meshes")
     bm.add_argument("--no-single", action="store_true",
                     help="skip the single-chip flagship measurement")
+    bm.add_argument("--receiver",
+                    help="comma list of constellations to benchmark the "
+                         "full receiver chain on (gps,galileo,glonass) "
+                         "at native sample rates")
+    bm.add_argument("--seconds", type=float, default=6.0,
+                    help="receiver benchmark capture length [s]")
     bm.set_defaults(fn=cmd_benchmark)
 
     inf = sub.add_parser("info", help="capture file facts (sample counter)")

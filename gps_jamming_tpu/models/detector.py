@@ -47,6 +47,48 @@ def power_profile(iq: jax.Array, cfg: DetectorConfig) -> PowerProfile:
     return PowerProfile(pm, base, thr, pm > thr)
 
 
+def power_profile_file(path: str, cfg: DetectorConfig,
+                       max_samples: int | None = None,
+                       block_chunks: int = 256) -> PowerProfile:
+    """Bounded-HBM power pre-scan of a capture FILE (worker.py:198-268).
+
+    Streams `block_chunks` power chunks (default 256 x 32768 samples =
+    16 MiB of bytes) at a time: the device only ever holds one block, so
+    the pre-scan cost is independent of capture length — the streaming
+    twin of `power_profile` for the process_file product path. Blocks
+    split on chunk boundaries and the final partial chunk is kept, so the
+    chunk-power map is bit-identical to the one-shot path on the same
+    bytes (same int8 'centered' ingest, same mean reduction shapes).
+    """
+    import os
+
+    from ..ops import iq as iq_ops
+    chunk = cfg.power_chunk_samples
+    block = block_chunks * chunk
+    n_total = os.path.getsize(path) // 2
+    if max_samples is not None:
+        n_total = min(n_total, int(max_samples))
+
+    jfn = jax.jit(lambda r: power_ops.chunk_power_p(
+        iq_ops.int8_to_planar(r), chunk))
+    pms = []
+    with open(path, "rb") as f:
+        done = 0
+        while done < n_total:
+            m = min(block, n_total - done)
+            raw = np.frombuffer(f.read(2 * m), dtype=np.uint8)
+            if raw.size == 0:
+                break
+            pms.append(np.asarray(jfn(
+                jnp.asarray(iq_ops.uint8_np_to_int8(raw)))))
+            done += raw.size // 2
+    pm = jnp.asarray(np.concatenate(pms) if pms
+                     else np.zeros(0, np.float32))
+    base = power_ops.power_baseline(pm, cfg.baseline_percentile)
+    thr = power_ops.power_threshold_linear(base, cfg.power_rise_db)
+    return PowerProfile(pm, base, thr, pm > thr)
+
+
 def power_profile_ranges(profile: PowerProfile, cfg: DetectorConfig) -> list[tuple[int, int]]:
     """High-power byte ranges [(start_byte, end_byte)), worker.py:250-264."""
     return power_ops.extract_ranges(np.asarray(profile.mask),

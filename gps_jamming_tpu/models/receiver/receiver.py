@@ -58,6 +58,18 @@ class ReceiverResult:
     system: str = "gps"
     epoch_ms: float = 1.0
     filter_name: str = "WLS"     # telemetry FILTER| field
+    # full-timeline telemetry sources (populated by both receivers):
+    # mean tracked C/N0 per epoch over the channels active at that epoch
+    # (the worker.py:304-318 per-record snr average, including jam windows
+    # where the streaming receiver later resets the slots), and
+    # (sat_id, start_epoch, end_epoch) tracking spans so TRACKED|/DECODED|
+    # lists vary over time like the reference's 100 ms status.
+    cn0_epochs: np.ndarray | None = None
+    tracked_spans: list[tuple[int, int, int]] | None = None
+    # (start_epoch, ChannelObservables) per decoded tracking interval —
+    # the source for per-frame observations[] rows (epochs are local to
+    # the interval; batch receiver intervals start at 0)
+    obs_spans: list[tuple[int, object]] | None = None
 
     @property
     def best_fix(self) -> pvt.PvtSolution | None:
@@ -286,9 +298,19 @@ def run_receiver(x, sample_rate: float,
             fix_epochs.append(int(round(m * su["epoch_ms"])))
             if sol.valid:
                 x0 = np.concatenate([sol.pos_ecef, [sol.clock_bias_m]])
+    # telemetry sources: batch channels track the whole capture
+    live_cols = [c for c, i in enumerate(sel)
+                 if channels[i].obs is not None]
+    cn0_epochs = (cn0[:, live_cols].mean(axis=-1) if live_cols
+                  else cn0.mean(axis=-1) if cn0.size else None)
+    spans = [(ids[i], 0, n_epochs) for i in sel]
+    obs_spans = [(0, channels[i].obs) for i in sel
+                 if channels[i].obs is not None]
     return ReceiverResult(channels, fixes, fix_epochs, system,
                           su["epoch_ms"],
-                          "EKF" if pvt_filter == "ekf" else "WLS")
+                          "EKF" if pvt_filter == "ekf" else "WLS",
+                          cn0_epochs=cn0_epochs, tracked_spans=spans,
+                          obs_spans=obs_spans)
 
 
 def _eph_complete(system: str, eph) -> bool:

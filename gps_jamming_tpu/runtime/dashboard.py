@@ -186,20 +186,36 @@ def make_server(state: DashboardState, port: int = 1234,
 def replay_analysis(state: DashboardState, paths, system: str = "gps",
                     max_seconds: float | None = None,
                     realtime: bool = False,
-                    antenna_positions=None) -> None:
+                    antenna_positions=None,
+                    live: bool = True) -> None:
     """Run the full analysis pipeline and stream its telemetry + events
-    into the dashboard state (the GPSAnalysisThread role, worker.py:477)."""
+    into the dashboard state (the GPSAnalysisThread role, worker.py:477).
+
+    live (default): records are pushed into the dashboard WHILE the
+    streaming receiver is still processing later segments (the gnssdec
+    per-100 ms POST behavior, sdrout.c:10-57) — position and flags
+    advance mid-analysis on long captures. live=False replays post-hoc.
+    """
     import time
 
     from . import pipeline
 
     state.set_status("analyzing " + ", ".join(paths))
+    n_live = [0]
+
+    def sink(rec):
+        state.add_record(rec)
+        n_live[0] += 1
+        state.set_status(
+            f"analyzing (live, t={rec['elapsed_time']:.1f}s)")
+
     res = pipeline.analyze_capture(
         paths, antenna_positions=antenna_positions,
         run_receiver=True, localize=True,
-        max_seconds=max_seconds, system=system)
+        max_seconds=max_seconds, system=system,
+        sink=sink if live and not realtime else None)
     prev_t = 0.0
-    for rec in res.telemetry.records:
+    for rec in res.telemetry.records[n_live[0]:]:
         if realtime:
             time.sleep(max(rec["elapsed_time"] - prev_t, 0.0))
             prev_t = rec["elapsed_time"]

@@ -61,12 +61,19 @@ def build_telemetry_frames(res: rx_mod.ReceiverResult, n_epochs: int,
     hgt = np.zeros(n_frames)
     nsat = np.zeros(n_frames)
 
-    live = [c.obs for c in res.channels if c.obs is not None] if res else []
     epoch_ms = res.epoch_ms if res is not None else 1.0
+    cn0_series = res.cn0_epochs if res is not None else None
+    live = ([c.obs for c in res.channels if c.obs is not None]
+            if res is not None and cn0_series is None else [])
     for f in range(n_frames):
         m = min((f + 1) * TELEMETRY_MS, n_epochs - 1)
-        if live:
-            e = int(m / epoch_ms)
+        e = int(m / epoch_ms)
+        if cn0_series is not None and cn0_series.size:
+            # full-timeline mean tracked C/N0 (includes streaming slots
+            # later reset — the F2 evidence the trimmed decode intervals
+            # would hide)
+            cn0[f] = float(cn0_series[min(e, cn0_series.size - 1)])
+        elif live:
             vals = [ch.cn0_dbhz[min(e, ch.cn0_dbhz.size - 1)]
                     for ch in live]
             cn0[f] = float(np.mean(vals))
@@ -119,15 +126,36 @@ def frame_observations(res: "rx_mod.ReceiverResult", frame_ms: int,
     fix_prns = (list(np.asarray(fix.prns)) if fix is not None
                 and fix.prns is not None else [])
     wk_adj = _week_adjust(res.system)
-    for c in res.channels:
-        obs = c.obs
-        if obs is None:
+    epoch_g = int(frame_ms / res.epoch_ms)
+    # decoded intervals: (start_epoch, obs) spans — time-varying for the
+    # streaming receiver (a reset + re-acquired satellite contributes a
+    # second span); fall back to whole-capture channel obs otherwise
+    spans = res.obs_spans
+    if spans is None:
+        spans = [(0, c.obs) for c in res.channels if c.obs is not None]
+    seen: dict[int, tuple] = {}
+    for st0, obs in spans:
+        local = epoch_g - st0
+        if obs is None or obs.cn0_dbhz.size == 0:
             continue
-        e = min(int(frame_ms / res.epoch_ms), obs.cn0_dbhz.size - 1,
-                obs.chips.size - 1)
+        covers = 0 <= local < min(obs.cn0_dbhz.size, obs.chips.size)
+        if not covers:
+            if obs.prn in seen:
+                continue
+            # nearest-edge sample keeps a row alive between spans (the
+            # reference holds the last obs snapshot until reset)
+            local = int(np.clip(local, 0,
+                                min(obs.cn0_dbhz.size,
+                                    obs.chips.size) - 1))
+        elif obs.prn in seen and not seen[obs.prn][0]:
+            pass                               # covering span wins
+        elif obs.prn in seen:
+            continue
+        seen[obs.prn] = (covers, obs, local)
+    for prn, (covers, obs, local) in sorted(seen.items()):
         az = el = resid = innov = 0.0
-        if c.prn in fix_prns:
-            k = fix_prns.index(c.prn)
+        if prn in fix_prns:
+            k = fix_prns.index(prn)
             az = float(fix.azimuth_deg[k])
             el = float(fix.elevation_deg[k])
             resid = float(fix.residuals_m[k])
@@ -135,12 +163,111 @@ def frame_observations(res: "rx_mod.ReceiverResult", frame_ms: int,
                 innov = float(fix.innovations_m[k])
         week = int(getattr(obs.eph, "week", 0) or 0)
         rows.append(telemetry.make_observation(
-            prn=c.prn, tow=float(obs.transmit_time(e)),
+            prn=prn, tow=float(obs.transmit_time(local)),
             week=week + wk_adj if week else 0,
-            snr=float(obs.cn0_dbhz[e]),
-            doppler=float(obs.doppler_hz[min(e, obs.doppler_hz.size - 1)]),
+            snr=float(obs.cn0_dbhz[local]),
+            doppler=float(obs.doppler_hz[min(local,
+                                             obs.doppler_hz.size - 1)]),
             az=az, el=el, residual=resid, innovation=innov))
     return rows
+
+
+def _detector_trace_bucketed(frames, ranges_pad, n_ranges, det_cfg,
+                             bucket: int = 256):
+    """Detector flag trace for a PARTIAL frame stream, padded to a bucket
+    size so the live-emission path compiles run_detector once per bucket
+    instead of once per emission length. The scan is causal (one forward
+    lax.scan over frames), so the first n outputs are independent of the
+    padding; events from the padded tail are discarded (the live path
+    only needs the per-frame flags)."""
+    n = int(np.asarray(frames.time_s).size)
+    b = max(-(-n // bucket) * bucket, bucket)
+    if b == n:
+        _, trace = detector.run_detector(frames, ranges_pad, n_ranges,
+                                         det_cfg)
+        return trace
+
+    def pad(a, fill=None):
+        a = np.asarray(a)
+        out = np.concatenate([a, np.full(b - n, a[-1] if fill is None
+                                         else fill, a.dtype)])
+        return out
+
+    t = np.asarray(frames.time_s)
+    padded = detector.TelemetryFrames(
+        time_s=np.concatenate([t, t[-1] + 0.1 * np.arange(1, b - n + 1)])
+        if n else np.arange(b) * 0.1,
+        buffcnt=pad(frames.buffcnt),
+        cn0_avg=pad(frames.cn0_avg),
+        residual_median=pad(frames.residual_median),
+        residual_bad_count=pad(frames.residual_bad_count),
+        hgt=pad(frames.hgt), nsat=pad(frames.nsat))
+    _, trace = detector.run_detector(padded, ranges_pad, n_ranges, det_cfg)
+    import jax as _jax
+    return _jax.tree_util.tree_map(lambda a: np.asarray(a)[:n], trace)
+
+
+def iter_records(res: "rx_mod.ReceiverResult", frames, hold: bool,
+                 hold_filt: "telemetry.HoldPositionFilter",
+                 start_frame: int = 0):
+    """Yield (frame_idx, record, fix) telemetry records for
+    frames[start_frame:] — the sdrout.c:83-334 100 ms status builder.
+
+    Shared by the post-hoc path (all frames at once) and the LIVE path
+    (called with a growing partial ReceiverResult every few segments;
+    pass the same HoldPositionFilter instance so the hold state carries
+    across emissions).
+    """
+    fix_ep = np.asarray(res.fix_epochs) if res.fix_epochs else None
+    acq_prns = [c.prn for c in res.channels if c.acquired]
+    trk = [c.prn for c in res.channels if c.obs is not None]
+    dec = [c.prn for c in res.channels
+           if c.obs is not None
+           and rx_mod._eph_complete(res.system, c.obs.eph)]
+
+    def frame_lists(epoch_g: int):
+        """TRACKED|/DECODED| vary with time when the receiver reports
+        tracking spans (the streaming receiver's slot assignments):
+        a jam-reset satellite leaves the lists and re-enters after
+        re-acquisition, like the reference's 100 ms status lines."""
+        if res.tracked_spans is None:
+            return trk, dec
+        t = sorted({s for s, a, b in res.tracked_spans
+                    if a <= epoch_g < b})
+        d = []
+        if res.obs_spans is not None:
+            d = sorted({o.prn for st0, o in res.obs_spans
+                        if st0 <= epoch_g < st0 + o.cn0_dbhz.size
+                        and rx_mod._eph_complete(res.system, o.eph)})
+        return t, d
+
+    for f in range(start_frame, len(np.asarray(frames.time_s))):
+        m = (f + 1) * TELEMETRY_MS
+        fix = None
+        if fix_ep is not None:
+            k = int(np.searchsorted(fix_ep, m, side="right")) - 1
+            # a fix is "current" only within one PVT cadence + one
+            # frame; stale fixes must not masquerade as live telemetry
+            if (k >= 0 and res.fixes[k].valid
+                    and m - fix_ep[k] <= 300):
+                fix = res.fixes[k]
+        is_hold = False
+        if fix is not None:
+            h_lat, h_lon, h_hgt, is_hold = hold_filt.apply(
+                fix.lat_deg, fix.lon_deg, fix.height_m)
+            if hold and is_hold:
+                fix = fix._replace(lat_deg=h_lat, lon_deg=h_lon,
+                                   height_m=h_hgt)
+        trk_f, dec_f = frame_lists(int(m / res.epoch_ms))
+        rec = telemetry.make_record(
+            elapsed_s=float(frames.time_s[f]),
+            time_s=float(frames.time_s[f]),
+            buffcnt=int(frames.buffcnt[f]),
+            acq_prns=acq_prns, tracked_prns=trk_f,
+            decoded_prns=dec_f,
+            fix=fix, hold=is_hold, filter_name=res.filter_name,
+            observations=frame_observations(res, m, fix))
+        yield f, rec, fix
 
 
 def analyze_capture(paths: Sequence[str],
@@ -152,7 +279,12 @@ def analyze_capture(paths: Sequence[str],
                     max_seconds: float | None = None,
                     system: str = "gps",
                     hold: bool = False,
-                    sample_rate: float | None = None) -> AnalysisResult:
+                    sample_rate: float | None = None,
+                    pvt_filter: str = "wls",
+                    streaming: bool = True,
+                    segment_s: float = 4.0,
+                    sink=None,
+                    emit_every_s: float = 8.0) -> AnalysisResult:
     """Analyze 1-3 antenna captures end to end (start_analysis flow,
     ui_mainwindow.py:653 -> worker.py:477-547).
 
@@ -166,7 +298,26 @@ def analyze_capture(paths: Sequence[str],
     sample_rate: capture sample rate override; default = the per-system
     front-end rate (2.048 MS/s GPS/Galileo, 10 MS/s GLONASS — the GUI's
     per-system params, ui_mainwindow.py:60-77 / sdrinit.c:3-13).
+    pvt_filter: 'wls' (blsFilter parity) or 'ekf' (the 8-state coasting
+    EKF the reference reserves but never implements, sdrpvt.c:85-88);
+    the telemetry FILTER field and observations[].innovation follow it.
+    streaming (default): the PRODUCT path — bounded-HBM file-streamed
+    power pre-scan plus the self-healing segmented receiver
+    (rx_stream.StreamingReceiver.process_file: channel health resets,
+    re-acquisition after jamming, ephemeris reuse — the operating mode of
+    gnssdec's channel threads, sdrmain.c:248-400 + :417-511). Device
+    memory stays one segment window regardless of capture length.
+    streaming=False runs the acquire-once whole-capture batch receiver
+    (short clean captures; results match on those).
+    sink: optional callable(record) — LIVE telemetry: on the streaming
+    path, records are built and pushed every ~emit_every_s of capture
+    WHILE segments are still processing (gnssdec POSTs each 100 ms
+    record as produced, sdrout.c:10-57; the serve dashboard shows
+    position/flags advancing mid-analysis). The returned AnalysisResult
+    still carries the authoritative full record log.
     """
+    import os
+
     t_start = time.time()
     if sample_rate is not None:
         fs = float(sample_rate)
@@ -177,21 +328,66 @@ def analyze_capture(paths: Sequence[str],
         fs = cfg.frontend.sample_rate_hz
     n_epoch = int(round(fs * 1e-3))
 
-    raw = np.fromfile(paths[0], dtype=np.uint8)
+    n_samples = os.path.getsize(paths[0]) // 2
     if max_seconds is not None:
-        raw = raw[: int(max_seconds * fs) * 2]
-    x = iq_ops.int8_to_planar(jnp.asarray(iq_ops.uint8_np_to_int8(raw)))
+        n_samples = min(n_samples, int(max_seconds * fs))
 
     # 1. power pre-scan (F1 map)
-    prof = detector.power_profile(x, cfg.detector)
+    if streaming:
+        prof = detector.power_profile_file(paths[0], cfg.detector,
+                                           max_samples=n_samples)
+    else:
+        raw = np.fromfile(paths[0], dtype=np.uint8,
+                          count=2 * n_samples)
+        x = iq_ops.int8_to_planar(
+            jnp.asarray(iq_ops.uint8_np_to_int8(raw)))
+        prof = detector.power_profile(x, cfg.detector)
     ranges = detector.power_profile_ranges(prof, cfg.detector)
     ranges_pad, n_ranges = detector.ranges_to_padded(ranges)
 
     # 2. receiver chain
     res = None
     if run_receiver:
-        res = rx_mod.run_receiver(x, fs, system=system)
-    n_epochs = x.shape[-1] // n_epoch
+        if streaming:
+            from . import rx_stream
+            srx = rx_stream.StreamingReceiver(
+                fs, system=system, segment_s=segment_s,
+                pvt_filter=pvt_filter)
+            max_seg = (None if max_seconds is None
+                       else max(int(max_seconds / segment_s), 1))
+            segment_cb = None
+            if sink is not None:
+                live_hold = telemetry.HoldPositionFilter()
+                emitted = [0]                  # frames pushed so far
+                emit_frames = max(int(emit_every_s * 1000 / TELEMETRY_MS),
+                                  1)
+
+                def segment_cb(done, n_total, snapshot):
+                    ms_cov = int(done * srx.seg_epochs * srx.su["epoch_ms"])
+                    n_frames = ms_cov // TELEMETRY_MS
+                    if n_frames == 0 or (n_frames - emitted[0] < emit_frames
+                                         and done < n_total):
+                        return
+                    part = snapshot()          # decode + PVT on data so far
+                    pf = build_telemetry_frames(part, ms_cov, n_epoch, cfg)
+                    ptrace = _detector_trace_bucketed(
+                        pf, ranges_pad, n_ranges, cfg.detector)
+                    pjam = np.asarray(ptrace.is_jamming)
+                    for f, rec, fix in iter_records(
+                            part, pf, hold, live_hold,
+                            start_frame=emitted[0]):
+                        rec["jamming"] = bool(pjam[f]) \
+                            if f < pjam.size else False
+                        sink(rec)
+                    emitted[0] = n_frames
+
+            res = srx.process_file(paths[0], convention="centered",
+                                   max_segments=max_seg,
+                                   segment_cb=segment_cb)
+        else:
+            res = rx_mod.run_receiver(x, fs, system=system,
+                                      pvt_filter=pvt_filter)
+    n_epochs = n_samples // n_epoch
 
     # 3. telemetry + detector
     frames = build_telemetry_frames(res, n_epochs, n_epoch, cfg)
@@ -205,35 +401,7 @@ def analyze_capture(paths: Sequence[str],
     last_safe = None
     jam_trace = np.asarray(trace.is_jamming)
     if res is not None:
-        fix_ep = np.asarray(res.fix_epochs) if res.fix_epochs else None
-        acq_prns = [c.prn for c in res.channels if c.acquired]
-        trk = [c.prn for c in res.channels if c.obs is not None]
-        dec = [c.prn for c in res.channels
-               if c.obs is not None and c.obs.eph.complete]
-        for f in range(len(np.asarray(frames.time_s))):
-            m = (f + 1) * TELEMETRY_MS
-            fix = None
-            if fix_ep is not None:
-                k = int(np.searchsorted(fix_ep, m, side="right")) - 1
-                # a fix is "current" only within one PVT cadence + one
-                # frame; stale fixes must not masquerade as live telemetry
-                if (k >= 0 and res.fixes[k].valid
-                        and m - fix_ep[k] <= 300):
-                    fix = res.fixes[k]
-            is_hold = False
-            if fix is not None:
-                h_lat, h_lon, h_hgt, is_hold = hold_filt.apply(
-                    fix.lat_deg, fix.lon_deg, fix.height_m)
-                if hold and is_hold:
-                    fix = fix._replace(lat_deg=h_lat, lon_deg=h_lon,
-                                       height_m=h_hgt)
-            rec = telemetry.make_record(
-                elapsed_s=float(frames.time_s[f]),
-                time_s=float(frames.time_s[f]),
-                buffcnt=int(frames.buffcnt[f]),
-                acq_prns=acq_prns, tracked_prns=trk, decoded_prns=dec,
-                fix=fix, hold=is_hold, filter_name=res.filter_name,
-                observations=frame_observations(res, m, fix))
+        for f, rec, fix in iter_records(res, frames, hold, hold_filt):
             log.append(rec)
             if fix is not None and f < jam_trace.size and not jam_trace[f]:
                 last_safe = {"lat": fix.lat_deg, "lon": fix.lon_deg,

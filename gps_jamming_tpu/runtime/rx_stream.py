@@ -82,9 +82,11 @@ class StreamingReceiver:
                  trk_cfg: TrackingConfig | None = None,
                  reset_cn0_dbhz: float = 15.0,
                  min_cn0_dbhz: float = 25.0,
-                 grace_segments: int = 1):
+                 grace_segments: int = 1,
+                 pvt_filter: str = "wls"):
         self.fs = sample_rate
         self.system = system
+        self.pvt_filter = pvt_filter
         self.acq_cfg = acq_cfg or AcquisitionConfig()
         self.trk_cfg = trk_cfg or TrackingConfig()
         self.su = _system_setup(system, sample_rate, self.acq_cfg)
@@ -110,9 +112,18 @@ class StreamingReceiver:
                 st, x, start_epoch=ages, start_offsets=offs,
                 table_arg=tab, carrier_arg=carr, offset_arg=offhz,
                 n_epochs=self.seg_epochs))
+        # device-side caches: the code table / carrier / FDMA offsets are
+        # re-uploaded only when a slot assignment changes (per-segment
+        # jnp.asarray uploads are pure round-trip latency on a tunneled
+        # runtime), and the whole acquisition + fine-Doppler refinement
+        # runs as ONE jitted dispatch each (eager acquire_all was ~1 s of
+        # per-op round trips per segment on axon).
+        self._dev_tabs: tuple | None = None
+        self._jit_acquire = jax.jit(self._acquire_traced)
+        self._jit_refine = jax.jit(self._refine_traced)
 
     # -- acquisition over a segment head ---------------------------------
-    def _acquire(self, xp, seg_start: int):
+    def _acquire_traced(self, xp, seg_start):
         su, cfg = self.su, self.acq_cfg
         n_code = su["n_code"]
         blocks = cplx.apply(
@@ -120,14 +131,43 @@ class StreamingReceiver:
                 a, (seg_start,), (cfg.n_integration * n_code,)
             ).reshape(cfg.n_integration, n_code), xp)
         if self.system == "glonass":
-            res = glo.acquire_all(blocks, self.fs, cfg)
-        else:
-            res = acq_mod.acquire_all(
-                blocks, su["replica"], self.fs, cfg,
-                code_period_s=su["code_period_s"],
-                code_len_chips=su["code_len_chips"],
-                method=getattr(cfg, "method", "std"))
-        return res
+            return glo.acquire_all(blocks, self.fs, cfg)
+        return acq_mod.acquire_all(
+            blocks, su["replica"], self.fs, cfg,
+            code_period_s=su["code_period_s"],
+            code_len_chips=su["code_len_chips"],
+            method=getattr(cfg, "method", "std"))
+
+    def _acquire(self, xp, seg_start: int):
+        return self._jit_acquire(xp, jnp.int32(seg_start))
+
+    def _refine_traced(self, xp, tab, lags, eff, carr, offhz):
+        return acq_mod.refine_doppler(
+            xp, tab, lags, eff, self.fs, self.su["chip_rate"],
+            carrier_hz=carr, nominal_offset_hz=offhz)
+
+    def _refine(self, xp, t2, lags, eff, c2, o2):
+        """Fixed-shape (n_slots) jitted fine-Doppler refinement: pads the
+        newly acquired channels up to the slot count so re-acquisition
+        never triggers a fresh compile mid-stream."""
+        k = t2.shape[0]
+        pad = self.n_slots - k
+        tab = np.zeros((self.n_slots, t2.shape[1]), np.float32)
+        tab[:k] = t2
+        lags_p = np.zeros(self.n_slots, np.int32)
+        lags_p[:k] = lags
+        eff_p = np.zeros(self.n_slots, np.float32)
+        eff_p[:k] = eff
+        carr_p = np.full(self.n_slots, 1575.42e6, np.float32)
+        offhz_p = np.zeros(self.n_slots, np.float32)
+        if c2 is not None:
+            carr_p[:k] = c2
+            offhz_p[:k] = o2
+        del pad
+        out = self._jit_refine(xp, jnp.asarray(tab), jnp.asarray(lags_p),
+                               jnp.asarray(eff_p), jnp.asarray(carr_p),
+                               jnp.asarray(offhz_p))
+        return np.asarray(out)[:k]
 
     def segment_window_samples(self) -> int:
         """Device window length needed per segment: the segment's epochs
@@ -135,8 +175,13 @@ class StreamingReceiver:
         return (self.seg_epochs * self.n_epoch + self.su["n_code"]
                 + self.n_epoch)
 
-    def process(self, x, verbose: bool = False) -> ReceiverResult:
-        """One-shot path: the whole capture device-resident (short files)."""
+    def process(self, x, verbose: bool = False,
+                segment_cb=None) -> ReceiverResult:
+        """One-shot path: the whole capture device-resident (short files).
+
+        segment_cb(seg_done, n_seg, snapshot): called after every segment;
+        snapshot() decodes the data-so-far into a partial ReceiverResult
+        (live telemetry hook — see _decode_pvt)."""
         xp = cplx.asarray(x)
         n = xp.shape[-1]
         n_seg = (n - self.su["n_code"]) // (self.seg_epochs * self.n_epoch)
@@ -144,11 +189,13 @@ class StreamingReceiver:
         def get_window(seg):
             return 0, xp                       # base offset, full capture
 
-        return self._process_core(get_window, n_seg, verbose)
+        return self._process_core(get_window, n_seg, verbose,
+                                  segment_cb=segment_cb)
 
     def process_file(self, path: str, verbose: bool = False,
                      convention: str = "centered",
-                     max_segments: int | None = None) -> ReceiverResult:
+                     max_segments: int | None = None,
+                     segment_cb=None) -> ReceiverResult:
         """Streaming path: bounded HBM for arbitrarily long captures.
 
         Feeds the receiver from `native.reader.CaptureReader` (the C++
@@ -212,12 +259,14 @@ class StreamingReceiver:
                                         jnp.asarray(w[1]))
 
         try:
-            return self._process_core(get_window, n_seg, verbose)
+            return self._process_core(get_window, n_seg, verbose,
+                                      segment_cb=segment_cb)
         finally:
             reader.close()
 
     def _process_core(self, get_window, n_seg: int,
-                      verbose: bool = False) -> ReceiverResult:
+                      verbose: bool = False,
+                      segment_cb=None) -> ReceiverResult:
         log = print if verbose else (lambda *a: None)
         su = self.su
         ids = su["ids"]
@@ -238,6 +287,14 @@ class StreamingReceiver:
         intervals: list[SlotInterval] = []
         open_iv: dict[int, SlotInterval] = {}
         acq_seen: dict[int, ChannelResult] = {}
+        total_epochs = n_seg * self.seg_epochs
+        # full-timeline telemetry sources (ReceiverResult.cn0_epochs /
+        # tracked_spans): C/N0 accumulates over every ACTIVE slot each
+        # segment — including the jam-crushed segments later trimmed from
+        # the decode intervals — so the telemetry F2 evidence survives
+        spans: list[tuple[int, int, int]] = []
+        cn0_sum = np.zeros(total_epochs, np.float64)
+        cn0_cnt = np.zeros(total_epochs, np.int64)
 
         def close(slot, trim_epochs: int = 0):
             iv = open_iv.pop(slot, None)
@@ -252,6 +309,12 @@ class StreamingReceiver:
                     if arr is not None:
                         setattr(iv, name, arr[:keep])
                 iv.n_epochs = keep
+            # TRACKED| span = the HEALTHY extent (trimmed): the jam-
+            # crushed tail leaves the telemetry tracked list when the
+            # health check starts failing, so the thinning is visible
+            # during the jam rather than only at the reset instant
+            spans.append((iv.sat_id, iv.start_epoch,
+                          iv.start_epoch + iv.n_epochs))
             intervals.append(iv)
 
         for seg in range(n_seg):
@@ -279,11 +342,9 @@ class StreamingReceiver:
                     if o2 is not None:
                         eff = eff + o2
                     abs_lag = (lags[new_idx] + seg_start).astype(np.int64)
-                    fine = np.asarray(acq_mod.refine_doppler(
+                    fine = self._refine(
                         xw, t2, (abs_lag - base).astype(np.int32), eff,
-                        self.fs, su["chip_rate"],
-                        carrier_hz=c2 if c2 is not None else 1575.42e6,
-                        nominal_offset_hz=o2 if o2 is not None else 0.0))
+                        c2, o2)
                     init2 = tracking.init_state(
                         len(new_idx),
                         fine - (o2 if o2 is not None else 0.0),
@@ -320,13 +381,17 @@ class StreamingReceiver:
                                 peak_ratio=float(ratios[i]),
                                 cn0_dbhz=float(cn0s[i]))
                     st = jax.tree_util.tree_map(jnp.asarray, st_h)
+                    self._dev_tabs = None      # slot tables changed
 
             # ---- one tracking scan over the segment ---------------------
             ages = (seg_ep - slot_birth).astype(np.int32)
+            if self._dev_tabs is None:
+                self._dev_tabs = (jnp.asarray(tab), jnp.asarray(carr),
+                                  jnp.asarray(offhz))
+            d_tab, d_carr, d_offhz = self._dev_tabs
             st, outs = self._jit_run(
                 st, xw, (slot_next - base).astype(np.int32),
-                jnp.asarray(ages),
-                jnp.asarray(tab), jnp.asarray(carr), jnp.asarray(offhz))
+                jnp.asarray(ages), d_tab, d_carr, d_offhz)
             ip = np.asarray(outs.i_prompt)
             rem = np.asarray(outs.code_rem_chips)
             cf = np.asarray(outs.carr_freq_hz)
@@ -336,6 +401,8 @@ class StreamingReceiver:
             # ---- append outputs + health check --------------------------
             for s in list(open_iv):
                 iv = open_iv[s]
+                cn0_sum[seg_ep:seg_ep + self.seg_epochs] += cn0[:, s]
+                cn0_cnt[seg_ep:seg_ep + self.seg_epochs] += 1
                 for name, arr in (("i_prompt", ip), ("code_rem", rem),
                                   ("carr_freq", cf), ("cn0", cn0)):
                     prev = getattr(iv, name)
@@ -368,18 +435,46 @@ class StreamingReceiver:
                     f"{float(np.median(cn0[-200:, s])):.0f}"
                     for s in range(self.n_slots))
                 + " bad: " + ",".join(str(v) for v in slot_bad))
+            if segment_cb is not None:
+                def snapshot(_upto=(seg + 1) * self.seg_epochs):
+                    """Decode + PVT over the data so far (pure function
+                    of the interval snapshots; arrays are replaced, never
+                    mutated, per segment, so sharing them is safe)."""
+                    ivs = [iv for iv in intervals]
+                    sp = list(spans)
+                    for oiv in open_iv.values():
+                        ivs.append(dataclasses.replace(oiv))
+                        sp.append((oiv.sat_id, oiv.start_epoch,
+                                   oiv.start_epoch + oiv.n_epochs))
+                    return self._decode_pvt(ivs, acq_seen, sp,
+                                            cn0_sum, cn0_cnt, _upto)
+                segment_cb(seg + 1, n_seg, snapshot)
         for s in list(open_iv):
             close(s)
         self.last_intervals = intervals
+        return self._decode_pvt(intervals, acq_seen, spans,
+                                cn0_sum, cn0_cnt, total_epochs)
+
+    def _decode_pvt(self, intervals, acq_seen, spans, cn0_sum, cn0_cnt,
+                    upto_epochs: int) -> ReceiverResult:
+        """Decode the tracking intervals and run PVT up to `upto_epochs`.
+
+        Pure with respect to its inputs (fresh ChannelResult copies, fresh
+        EKF), so the live-telemetry path can call it on a mid-run snapshot
+        every few segments (the sdrout.c 100 ms status role) and the final
+        call still produces the authoritative result."""
+        su = self.su
+        log = lambda *a: None  # noqa: E731 — quiet in snapshot mode
 
         # ---- decode each interval ----------------------------------------
         skip = max(int(round(1000.0 / su["epoch_ms"])), 1)
         channels: dict[int, ChannelResult] = {
-            sat: res for sat, res in acq_seen.items()}
+            sat: dataclasses.replace(res) for sat, res in acq_seen.items()}
+        intervals = sorted(intervals, key=lambda iv: iv.start_epoch)
         live: list[observables.ChannelObservables] = []
         live_start: list[int] = []
+        obs_spans: list[tuple[int, object]] = []
         eph_cache: dict[int, object] = {}
-        intervals.sort(key=lambda iv: iv.start_epoch)
         for iv in intervals:
             if iv.n_epochs <= skip + 1:
                 continue
@@ -414,6 +509,7 @@ class StreamingReceiver:
                 eph_cache[iv.sat_id] = obs.eph
             elif iv.sat_id in eph_cache:
                 obs.eph = eph_cache[iv.sat_id]
+            obs_spans.append((iv.start_epoch, obs))
             if channels.get(iv.sat_id) is not None \
                     and channels[iv.sat_id].obs is None:
                 channels[iv.sat_id].obs = obs
@@ -422,43 +518,72 @@ class StreamingReceiver:
                 live_start.append(iv.start_epoch)
 
         # ---- PVT over whichever channels cover each epoch ---------------
+        # pvt_filter='ekf': the 8-state pseudorange EKF (pvt.PvtEkf) is
+        # seeded by the first WLS fix and then COASTS through epochs with
+        # <4 healthy channels (jam windows) — the availability the
+        # reference's empty EKF branch reserves (sdrpvt.c:85-88,
+        # sdr.h:381-384) but never delivers.
         fixes: list[pvt.PvtSolution] = []
         fix_epochs: list[int] = []
         interval_ep = max(int(round(200.0 / su["epoch_ms"])), 1)
-        total_epochs = n_seg * self.seg_epochs
-        for m in range(interval_ep, total_epochs, interval_ep):
+        ekf = pvt.PvtEkf() if self.pvt_filter == "ekf" else None
+        last_m: int | None = None
+        for m in range(interval_ep, upto_epochs, interval_ep):
             idx = [k for k, (ch, st0) in enumerate(zip(live, live_start))
                    if st0 + skip < m < st0 + ch.chips.size]
-            if len(idx) < 4:
+            ekf_live = ekf is not None and ekf.initialized
+            if len(idx) < 4 and not ekf_live:
                 continue
             chs = [live[k] for k in idx]
             local = [m - live_start[k] for k in idx]
             t_tx = np.array([ch.transmit_time_common(lm)
                              for ch, lm in zip(chs, local)])
-            t_rx = t_tx.min() + observables.PTIMING_S
-            pr = 299_792_458.0 * (t_rx - t_tx)
-            if self.system == "glonass":
-                pos, clk = systems.glonass_sat_pos_clock(
-                    [ch.eph for ch in chs], t_tx)
-                weeks = np.full(len(chs), 2400)
+            if chs:
+                t_rx = t_tx.min() + observables.PTIMING_S
+                pr = 299_792_458.0 * (t_rx - t_tx)
+                if self.system == "glonass":
+                    pos, clk = systems.glonass_sat_pos_clock(
+                        [ch.eph for ch in chs], t_tx)
+                    weeks = np.full(len(chs), 2400)
+                else:
+                    batch = eph_mod.stack_ephemeris([ch.eph for ch in chs])
+                    pos, clk = eph_mod.sat_pos_clock(batch, t_tx)
+                    wk_adj = 2048 if self.system == "gps" else 1024
+                    weeks = np.array([ch.eph.week for ch in chs]) + wk_adj
+                snr = np.array([ch.cn0_dbhz[lm]
+                                for ch, lm in zip(chs, local)])
+                mask = pvt.precheck_mask(
+                    snr_dbhz=snr, week=weeks, tow_s=t_tx, pr_m=pr,
+                    eph_complete=[_eph_complete(self.system, ch.eph)
+                                  for ch in chs])
+            else:                              # coast-only epoch
+                pos = np.zeros((0, 3))
+                pr = np.zeros(0)
+                clk = np.zeros(0)
+                mask = np.zeros(0, bool)
+            if ekf_live:
+                dt = ((m - last_m) if last_m is not None else interval_ep) \
+                    * su["epoch_ms"] * 1e-3
+                sol = ekf.step(pos, pr, clk, mask=mask, dt_s=dt)
+                last_m = m                     # the predict already ran
+                if not sol.valid:
+                    continue                   # coast limit exceeded
             else:
-                batch = eph_mod.stack_ephemeris([ch.eph for ch in chs])
-                pos, clk = eph_mod.sat_pos_clock(batch, t_tx)
-                wk_adj = 2048 if self.system == "gps" else 1024
-                weeks = np.array([ch.eph.week for ch in chs]) + wk_adj
-            snr = np.array([ch.cn0_dbhz[lm]
-                            for ch, lm in zip(chs, local)])
-            mask = pvt.precheck_mask(
-                snr_dbhz=snr, week=weeks, tow_s=t_tx, pr_m=pr,
-                eph_complete=[_eph_complete(self.system, ch.eph)
-                              for ch in chs])
-            if mask.sum() < 4:
-                continue
-            sol = pvt.solve_wls(pos, pr, clk, mask=mask)
+                if mask.sum() < 4:
+                    continue
+                sol = pvt.solve_wls(pos, pr, clk, mask=mask)
+                if ekf is not None and sol.valid:
+                    ekf.initialize(sol)
+                last_m = m
             sol = sol._replace(prns=np.array([ch.prn for ch in chs]))
             fixes.append(sol)
             fix_epochs.append(int(round(m * su["epoch_ms"])))
 
         chan_list = list(channels.values())
+        cn0_epochs = (cn0_sum[:upto_epochs]
+                      / np.maximum(cn0_cnt[:upto_epochs], 1))
         return ReceiverResult(chan_list, fixes, fix_epochs, self.system,
-                              su["epoch_ms"])
+                              su["epoch_ms"],
+                              "EKF" if ekf is not None else "WLS",
+                              cn0_epochs=cn0_epochs.astype(np.float32),
+                              tracked_spans=spans, obs_spans=obs_spans)

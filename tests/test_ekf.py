@@ -4,6 +4,7 @@ The reference reserves but never implements its EKF (sdrpvt.c:85-88);
 these tests pin down the completed filter against synthetic geometry.
 """
 import numpy as np
+import pytest
 
 from gps_jamming_tpu.models.receiver import pvt
 from gps_jamming_tpu.utils import constants as C
