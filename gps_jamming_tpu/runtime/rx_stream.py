@@ -107,11 +107,18 @@ class StreamingReceiver:
         # per-slot loop staging: epoch index seen by the FLL/PLL stage
         # switch is the slot's AGE (epochs since its own acquisition) —
         # k runs 0..seg_epochs within a segment, so start_epoch = age
-        self._jit_run = jax.jit(
-            lambda st, x, offs, ages, tab, carr, offhz: self._run(
+        def _run_packed(st, x, offs, ages, tab, carr, offhz):
+            st2, outs = self._run(
                 st, x, start_epoch=ages, start_offsets=offs,
                 table_arg=tab, carrier_arg=carr, offset_arg=offhz,
-                n_epochs=self.seg_epochs))
+                n_epochs=self.seg_epochs)
+            # pack the 4 consumed output streams into ONE array: a
+            # tunneled runtime pays a full round trip per host fetch, so
+            # 9 per-field fetches -> 1 (plus the state stays on device)
+            packed = jnp.stack([outs.i_prompt, outs.code_rem_chips,
+                                outs.carr_freq_hz, outs.cn0_dbhz])
+            return st2, packed
+        self._jit_run = jax.jit(_run_packed)
         # device-side caches: the code table / carrier / FDMA offsets are
         # re-uploaded only when a slot assignment changes (per-segment
         # jnp.asarray uploads are pure round-trip latency on a tunneled
@@ -119,7 +126,7 @@ class StreamingReceiver:
         # runs as ONE jitted dispatch each (eager acquire_all was ~1 s of
         # per-op round trips per segment on axon).
         self._dev_tabs: tuple | None = None
-        self._jit_acquire = jax.jit(self._acquire_traced)
+        self._jit_acquire = jax.jit(self._acquire_packed)
         self._jit_refine = jax.jit(self._refine_traced)
 
     # -- acquisition over a segment head ---------------------------------
@@ -138,8 +145,15 @@ class StreamingReceiver:
             code_len_chips=su["code_len_chips"],
             method=getattr(cfg, "method", "std"))
 
+    def _acquire_packed(self, xp, seg_start):
+        r = self._acquire_traced(xp, seg_start)
+        return jnp.stack([r.acquired.astype(jnp.float32), r.code_phase,
+                          r.doppler_hz, r.peak_ratio, r.cn0_dbhz])
+
     def _acquire(self, xp, seg_start: int):
-        return self._jit_acquire(xp, jnp.int32(seg_start))
+        """One jitted dispatch + ONE host fetch: (5, n_prn) rows =
+        acquired, code_phase, doppler_hz, peak_ratio, cn0_dbhz."""
+        return np.asarray(self._jit_acquire(xp, jnp.int32(seg_start)))
 
     def _refine_traced(self, xp, tab, lags, eff, carr, offhz):
         return acq_mod.refine_doppler(
@@ -325,12 +339,12 @@ class StreamingReceiver:
             # ---- fill free slots from a fresh acquisition ---------------
             free = [s for s in range(self.n_slots) if slot_sat[s] == 0]
             if free:
-                res = self._acquire(xw, seg_start - base)
-                acq = np.asarray(res.acquired)
-                ratios = np.asarray(res.peak_ratio)
-                dopp = np.asarray(res.doppler_hz)
-                lags = np.asarray(res.code_phase)
-                cn0s = np.asarray(res.cn0_dbhz)
+                packed_acq = self._acquire(xw, seg_start - base)
+                acq = packed_acq[0] > 0.5
+                lags = packed_acq[1]
+                dopp = packed_acq[2]
+                ratios = packed_acq[3]
+                cn0s = packed_acq[4]
                 active = set(int(v) for v in slot_sat if v != 0)
                 cands = [i for i in np.argsort(-ratios)
                          if acq[i] and ids[i] not in active]
@@ -389,13 +403,11 @@ class StreamingReceiver:
                 self._dev_tabs = (jnp.asarray(tab), jnp.asarray(carr),
                                   jnp.asarray(offhz))
             d_tab, d_carr, d_offhz = self._dev_tabs
-            st, outs = self._jit_run(
+            st, packed = self._jit_run(
                 st, xw, (slot_next - base).astype(np.int32),
                 jnp.asarray(ages), d_tab, d_carr, d_offhz)
-            ip = np.asarray(outs.i_prompt)
-            rem = np.asarray(outs.code_rem_chips)
-            cf = np.asarray(outs.carr_freq_hz)
-            cn0 = np.asarray(outs.cn0_dbhz)
+            packed = np.asarray(packed)        # one fetch for all streams
+            ip, rem, cf, cn0 = packed
             slot_next += self.seg_epochs * self.n_epoch
 
             # ---- append outputs + health check --------------------------
@@ -411,11 +423,15 @@ class StreamingReceiver:
                             seg_arr if prev is None
                             else np.concatenate([prev, seg_arr]))
                 iv.n_epochs += self.seg_epochs
-                # whole-segment median: under strong jamming the C/N0
-                # estimator oscillates epoch-to-epoch between deep nulls
-                # and spurious mid-teens values, so a short tail window
-                # flips healthy/unhealthy and never sustains a reset
-                med = float(np.median(cn0[:, s]))
+                # whole-segment LOWER QUARTILE: under strong jamming the
+                # C/N0 estimator oscillates epoch-to-epoch between deep
+                # nulls and spurious healthy-looking values, so both a
+                # short tail window and the segment median can land above
+                # the reset threshold while the channel is actually dead
+                # (observed with clipped broadband jam at 4 s segments).
+                # p25 stays ~48 dB-Hz for a genuinely locked channel and
+                # collapses when >=25% of the segment is crushed.
+                med = float(np.percentile(cn0[:, s], 25.0))
                 aged = seg_ep - slot_birth[s] >= self.seg_epochs
                 if not med >= self.reset_cn0 and aged:
                     slot_bad[s] += 1

@@ -1,0 +1,112 @@
+"""Flagship product-path e2e: the detect pipeline on a long jammed capture.
+
+VERDICT r3 items 1/2/5 in one scenario: `analyze_capture` (the detect
+verb's engine) drives the self-healing StreamingReceiver.process_file —
+bounded HBM, channel health resets, post-jam re-acquisition
+(sdrmain.c:248-400, :417-511 roles) — over a 60 s capture with a hard
+mid-capture jam, with the 8-state EKF coasting through the outage the
+snapshot WLS cannot survive, and the telemetry records showing all of it:
+time-varying TRACKED|/DECODED| lists, per-satellite observations[], the
+EKF FILTER name and innovations.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from gps_jamming_tpu.ops import iq
+from gps_jamming_tpu.runtime import pipeline
+from gps_jamming_tpu.sim import constellation, jammers
+from tests.test_rx_stream import FS, RX_LLA, TOE, _shell
+
+JAM_START_S = 25.0
+JAM_END_S = 31.0                  # 6 s outage > the 5 s EKF coast limit
+TOTAL_S = 60.0
+
+
+@pytest.mark.slow
+def test_detect_product_path_long_jammed_capture(tmp_path):
+    tow0 = TOE - 1.3
+    n = int(TOTAL_S * FS)
+    iq_sig, truths, rx_ecef = constellation.simulate_constellation(
+        _shell(), RX_LLA, tow0, n, FS, noise_std=0.4, seed=6)
+    assert len(truths) >= 4
+    jam = np.asarray(jammers.broadband(
+        int((JAM_END_S - JAM_START_S) * FS), jax.random.PRNGKey(3),
+        amplitude=400.0))
+    x = iq_sig.copy()
+    x[int(JAM_START_S * FS):int(JAM_END_S * FS)] += jam
+    path = str(tmp_path / "long_jam.bin")
+    # scale into the uint8 ADC range (the sim floats are ~unit
+    # amplitude; unscaled they quantize to +-1 LSB and the C/A
+    # SNR dies); the jam (amp 400 * 12) clips at 127 = saturation
+    iq.write_iq_file(path, (x * 12.0).astype(np.complex64))
+
+    res = pipeline.analyze_capture([path], run_receiver=True,
+                                   localize=False, pvt_filter="ekf")
+
+    # --- F1 power range + detector event over the jam window -------------
+    assert len(res.power_ranges) == 1
+    s_b, e_b = res.power_ranges[0]
+    assert abs(s_b / 2 / FS - JAM_START_S) < 0.1
+    assert abs(e_b / 2 / FS - JAM_END_S) < 0.1
+    assert len(res.events) >= 1
+    assert abs(res.events[0]["start_time"] - JAM_START_S) < 0.5
+
+    # --- self-healing visible in telemetry: TRACKED| dips then recovers --
+    recs = res.telemetry.records
+    assert len(recs) >= int(TOTAL_S * 10) - 5
+
+    def tracked_at(t0, t1):
+        counts = [len(r["tracked"]) for r in recs
+                  if t0 < r["elapsed_time"] < t1]
+        return max(counts) if counts else 0
+
+    pre = tracked_at(10.0, JAM_START_S)
+    mid = tracked_at(JAM_START_S + 3.0, JAM_END_S)
+    post = tracked_at(JAM_END_S + 6.0, TOTAL_S)
+    assert pre >= 4, f"pre-jam tracked {pre}"
+    assert mid < pre, f"jam did not thin the tracked list ({mid} vs {pre})"
+    assert post >= 4, f"post-jam re-acquisition missing ({post})"
+
+    # a satellite tracked before the jam re-enters the list after it
+    pre_set = {p for r in recs if 10.0 < r["elapsed_time"] < JAM_START_S
+               for p in r["tracked"]}
+    post_set = {p for r in recs if r["elapsed_time"] > JAM_END_S + 6.0
+                for p in r["tracked"]}
+    assert pre_set & post_set, "no satellite re-acquired after the jam"
+
+    # --- fixes: good before and after, EKF coasting inside ---------------
+    ep = np.asarray(res.receiver.fix_epochs, np.float64) / 1000.0
+    fixes = res.receiver.fixes
+    assert fixes, "receiver produced no PVT fixes at all"
+    errs = np.array([np.linalg.norm(f.pos_ecef - rx_ecef) for f in fixes])
+    valid = np.array([f.valid for f in fixes])
+    pre_m = valid & (ep < JAM_START_S)
+    post_m = valid & (ep > JAM_END_S + 6.0)
+    assert pre_m.any() and np.median(errs[pre_m]) < 30.0
+    assert post_m.any() and np.median(errs[post_m]) < 30.0
+
+    # coasting: valid fixes with <4 sats inside the jam window — exactly
+    # what snapshot WLS cannot produce (its gate needs >= 4 healthy sats)
+    coast = [(f, e) for f, e, v in zip(fixes, ep, valid)
+             if v and JAM_START_S + 0.7 < e < JAM_START_S + 5.0
+             and f.nsat < 4]
+    assert coast, "EKF produced no coasting fixes inside the jam"
+    for f, _ in coast:
+        assert np.linalg.norm(f.pos_ecef - rx_ecef) < 500.0
+    # the coast limit holds: nothing valid later in the jam
+    deep = [e for e, v, f in zip(ep, valid, fixes)
+            if v and JAM_START_S + 5.5 < e < JAM_END_S and f.nsat < 4]
+    assert not deep, f"coasting past the 5 s limit at {deep}"
+
+    # --- telemetry carries the filter + per-sat observations --------------
+    assert res.receiver.filter_name == "EKF"
+    assert all(r["filter"] == "EKF" for r in recs)
+    n_obs = sum(len(r["observations"]) for r in recs)
+    assert n_obs > 100
+    innovs = [o["innovation"] for r in recs for o in r["observations"]]
+    assert any(v != 0.0 for v in innovs), "EKF innovations missing"
+    from gps_jamming_tpu.utils import analysis
+    series = analysis.per_prn_series(recs)
+    assert len(series) >= 4
