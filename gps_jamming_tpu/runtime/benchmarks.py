@@ -183,8 +183,8 @@ def receiver_chain(system: str = "gps", seconds: float = 6.0,
     offhz = np.zeros(rx.n_slots, np.float32)
     W = rx.segment_window_samples()
     xw = cplx.apply(lambda a: jax.lax.dynamic_slice(a, (0,), (W,)), xp)
-    args = (st, xw, np.zeros(rx.n_slots, np.int32),
-            jnp.zeros(rx.n_slots, jnp.int32), jnp.asarray(tab),
+    offs_ages = jnp.zeros((2, rx.n_slots), jnp.int32)
+    args = (st, xw, offs_ages, jnp.asarray(tab),
             jnp.asarray(carr), jnp.asarray(offhz))
     dt_scan = _slope_time(rx._jit_run, *args, n_lo=2, n_hi=8)
     seg_samples = rx.seg_epochs * rx.n_epoch

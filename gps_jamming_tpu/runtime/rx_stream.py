@@ -83,7 +83,8 @@ class StreamingReceiver:
                  reset_cn0_dbhz: float = 15.0,
                  min_cn0_dbhz: float = 25.0,
                  grace_segments: int = 1,
-                 pvt_filter: str = "wls"):
+                 pvt_filter: str = "wls",
+                 acq_holdoff_s: float | None = None):
         self.fs = sample_rate
         self.system = system
         self.pvt_filter = pvt_filter
@@ -94,6 +95,19 @@ class StreamingReceiver:
         self.reset_cn0 = reset_cn0_dbhz
         self.min_cn0 = min_cn0_dbhz
         self.grace = grace_segments
+        # segments to skip after an acquisition attempt that assigned no
+        # slot (the reference sleeps 10 s after resetStructs before the
+        # channel searches again, sdrmain.c:417-462; an empty search costs
+        # a dispatch + fetch round trip per segment on a tunneled
+        # runtime). Default: one skipped segment between failed attempts
+        # — lighter than the reference's 10 s because the segmented
+        # decode re-anchors per interval, so late re-acquisition directly
+        # delays the first post-jam fix. An attempt that DOES assign
+        # keeps searching next segment (hot signal), and a health reset
+        # re-arms the search immediately.
+        if acq_holdoff_s is None:
+            acq_holdoff_s = 2.0 * segment_s
+        self.acq_holdoff = max(int(round(acq_holdoff_s / segment_s)), 1)
         n_epoch = int(round(sample_rate * self.su["epoch_ms"] * 1e-3))
         self.seg_epochs = max(int(segment_s * 1000.0
                                   / self.su["epoch_ms"]), 1)
@@ -107,7 +121,8 @@ class StreamingReceiver:
         # per-slot loop staging: epoch index seen by the FLL/PLL stage
         # switch is the slot's AGE (epochs since its own acquisition) —
         # k runs 0..seg_epochs within a segment, so start_epoch = age
-        def _run_packed(st, x, offs, ages, tab, carr, offhz):
+        def _run_packed(st, x, offs_ages, tab, carr, offhz):
+            offs, ages = offs_ages[0], offs_ages[1]
             st2, outs = self._run(
                 st, x, start_epoch=ages, start_offsets=offs,
                 table_arg=tab, carrier_arg=carr, offset_arg=offhz,
@@ -309,6 +324,7 @@ class StreamingReceiver:
         spans: list[tuple[int, int, int]] = []
         cn0_sum = np.zeros(total_epochs, np.float64)
         cn0_cnt = np.zeros(total_epochs, np.int64)
+        acq_next_seg = 0                       # acquisition holdoff gate
 
         def close(slot, trim_epochs: int = 0):
             iv = open_iv.pop(slot, None)
@@ -338,7 +354,7 @@ class StreamingReceiver:
 
             # ---- fill free slots from a fresh acquisition ---------------
             free = [s for s in range(self.n_slots) if slot_sat[s] == 0]
-            if free:
+            if free and seg >= acq_next_seg:
                 packed_acq = self._acquire(xw, seg_start - base)
                 acq = packed_acq[0] > 0.5
                 lags = packed_acq[1]
@@ -349,6 +365,8 @@ class StreamingReceiver:
                 cands = [i for i in np.argsort(-ratios)
                          if acq[i] and ids[i] not in active]
                 new_idx = cands[: len(free)]
+                acq_next_seg = (seg + 1 if new_idx
+                                else seg + self.acq_holdoff)
                 if new_idx:
                     t2, c2, o2 = _system_tables(
                         self.system, [ids[i] for i in new_idx])
@@ -403,9 +421,10 @@ class StreamingReceiver:
                 self._dev_tabs = (jnp.asarray(tab), jnp.asarray(carr),
                                   jnp.asarray(offhz))
             d_tab, d_carr, d_offhz = self._dev_tabs
+            offs_ages = np.stack([(slot_next - base).astype(np.int32),
+                                  ages.astype(np.int32)])
             st, packed = self._jit_run(
-                st, xw, (slot_next - base).astype(np.int32),
-                jnp.asarray(ages), d_tab, d_carr, d_offhz)
+                st, xw, jnp.asarray(offs_ages), d_tab, d_carr, d_offhz)
             packed = np.asarray(packed)        # one fetch for all streams
             ip, rem, cf, cn0 = packed
             slot_next += self.seg_epochs * self.n_epoch
@@ -444,6 +463,7 @@ class StreamingReceiver:
                     slot_sat[s] = 0
                     close(s, trim_epochs=int(slot_bad[s])
                           * self.seg_epochs)
+                    acq_next_seg = seg + 1     # search freed slot now
             log(f"[seg {seg}] slots: "
                 + ",".join(str(v) for v in slot_sat)
                 + " cn0tail: "
