@@ -264,3 +264,21 @@ def test_live_sink_streams_records_during_analysis(capture_set):
     # the jam flag reached the live stream inside the jam window
     jam_live = [r for r in pushed if r.get("jamming")]
     assert any(0.3 < r["elapsed_time"] <= 1.0 for r in jam_live)
+
+
+def test_analyze_capture_max_seconds_streaming(capture_set):
+    """--max-seconds truncates both the streamed pre-scan and the
+    streaming receiver identically to the batch path."""
+    paths, _ = capture_set
+    r1 = pipeline.analyze_capture([paths[0]], run_receiver=False,
+                                  localize=False, streaming=True,
+                                  max_seconds=0.5)
+    r2 = pipeline.analyze_capture([paths[0]], run_receiver=False,
+                                  localize=False, streaming=False,
+                                  max_seconds=0.5)
+    assert r1.power_ranges == r2.power_ranges
+    assert r1.events == r2.events
+    # 0.5 s cut lands inside the 0.3-0.7 s jam: the range ends at the
+    # cut (rounded up to the partial final power chunk, worker behavior)
+    (s_b, e_b), = r1.power_ranges
+    assert e_b <= (int(0.5 * FS) + 32768) * 2
