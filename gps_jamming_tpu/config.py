@@ -56,8 +56,11 @@ class AcquisitionConfig:
     exclude_chips: float = 2.0           # second-peak exclusion half-width
     # 'std' = reference-shaped per-Doppler non-coherent search;
     # 'pcf' = post-correlation-FFT factorized search (~3.5x faster on TPU,
-    # finer effective grid); 'auto' picks pcf when profitable
-    method: str = "std"
+    # finer effective grid); 'auto' (default since r4) picks pcf when its
+    # inverse-row count wins (GPS/GLONASS 1 ms epochs: yes; Galileo E1B
+    # 4 ms: no — caf.pcf_profitable), so the product receiver ships the
+    # same factorized search the flagship bench does
+    method: str = "auto"
 
     @property
     def n_doppler(self) -> int:

@@ -712,7 +712,12 @@ def permute_replica_v3_jnp(rep_re, rep_im, n1: int, n2: int,
     return prep(rep_re), prep(rep_im)
 
 
-def _make_kernel_v3(precision: str, n1: int, n2: int, cp: int):
+def _make_kernel_v3(precision: str, n1: int, n2: int, cp: int,
+                    block_axis: int = 1):
+    """block_axis: which grid axis is the accumulate-over-blocks axis
+    (1 for the classic (freq, block) grid; 2 for the single-launch PCF
+    (row, chunk, block) grid — it must be the INNERMOST axis so the
+    output block stays resident across the accumulation)."""
     from jax.experimental import pallas as pl
 
     if precision == "bf16":
@@ -728,7 +733,7 @@ def _make_kernel_v3(precision: str, n1: int, n2: int, cp: int):
     def kernel(x_re, x_im, osc_re, osc_im, rep_re, rep_im,
                l1r, l1i, t1fr, t1fi, d2fr, d2fi,
                d2iTr, d2iTi, ttr, tti, gr, gi, out_ref):
-        b = pl.program_id(1)
+        b = pl.program_id(block_axis)
         ft = osc_re.shape[0]
         # Doppler mix + forward DFT: identical to v2 (C-free)
         xr, xi = x_re[0], x_im[0]
@@ -974,13 +979,7 @@ def caf_accumulate_pcf_fused(blocks, replica_fft_conj, sample_rate: float,
     # hoists them out of scan loops).
     host_bytes = nprn * n_c * n * 8
     if host_bytes <= PCF_HOST_REPLICA_MAX_BYTES:
-        rep_chunks = []
-        for ch in chunks:
-            rr = np.ascontiguousarray(                # (P, len, n) -> 2D
-                rep_re[:, k_idx[ch]].reshape(nprn * len(ch), n))
-            ri = np.ascontiguousarray(
-                rep_im[:, k_idx[ch]].reshape(nprn * len(ch), n))
-            rep_chunks.append(cplx.CArray(rr, ri))
+        rep_chunks = None            # single-launch path builds its own
     else:
         rep_d = cplx.CArray(jnp.asarray(rep_re), jnp.asarray(rep_im))
         iot = jnp.arange(n, dtype=jnp.int32)[None, :]
@@ -1018,6 +1017,17 @@ def caf_accumulate_pcf_fused(blocks, replica_fft_conj, sample_rate: float,
     yi = y_re * mi + y_im * mr                              # (S, F, G, n)
 
     zero = np.zeros(1, np.float64)
+    if host_bytes <= PCF_HOST_REPLICA_MAX_BYTES:
+        # SINGLE pallas launch: grid (rows, chunks, groups). The multi-
+        # launch form paid ~10 us of launch overhead x (S*F x n_chunks)
+        # kernels — for the GPS search that overhead exceeded the actual
+        # MXU work. Rows and replica chunks become grid axes; the block
+        # (group) axis stays innermost so the kernel's non-coherent
+        # accumulation pattern is unchanged (block_axis=2).
+        return _pcf_single_launch(
+            cplx.CArray(yr, yi), chunks, rep_re, rep_im, k_idx,
+            sample_rate, n_sets, nF, n_groups, n_c, nprn, n,
+            precision=precision, interpret=interpret)
     rows = []
     for s in range(n_sets):
         for f in range(nF):
@@ -1032,3 +1042,110 @@ def caf_accumulate_pcf_fused(blocks, replica_fft_conj, sample_rate: float,
             rows.append(jnp.concatenate(per_chunk, axis=1))  # (P, C, n)
     surf = jnp.stack(rows, axis=2)          # (P, C, S*F, n), row = s*nF+f
     return surf.reshape(nprn, n_c * n_sets * nF, n)
+
+
+def _pcf_single_launch(y, chunks, rep_re, rep_im, k_idx, sample_rate,
+                       n_sets, nF, n_groups, n_c, nprn, n, *,
+                       precision: str, interpret: bool | None):
+    """One pallas_call for the whole PCF surface.
+
+    y: (S, F, G, n) combined coherent-group signals (planar CArray).
+    Every replica chunk is padded to the SAME channel count (the last
+    chunk gets zero replicas, sliced off afterward) so all grid steps
+    share one BlockSpec; grid = (S*F, n_chunks, G) with the group axis
+    innermost for in-register accumulation.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n1, n2 = factorization_v3(n)
+    R = n_sets * nF
+    G = n_groups
+    C = len(chunks)
+    L = len(chunks[0])                       # max chunk length
+    cp = _pad_prn_v3(nprn * L, n1)
+    cm = cp * n1
+
+    # replica planes per chunk, all padded to nprn*L channels
+    prr_list, pri_list = [], []
+    for ch in chunks:
+        rr = rep_re[:, k_idx[ch]]                # (nprn, len, n)
+        ri = rep_im[:, k_idx[ch]]
+        if len(ch) < L:                          # pad PER PRN so channel
+            pad = np.zeros((nprn, L - len(ch), n), np.float32)
+            rr = np.concatenate([rr, pad], axis=1)   # index = p*L + ci
+            ri = np.concatenate([ri, pad], axis=1)
+        a, b_ = permute_replica_v3(rr.reshape(nprn * L, n),
+                                   ri.reshape(nprn * L, n), n1, n2, cp)
+        prr_list.append(a)
+        pri_list.append(b_)
+    prr = np.ascontiguousarray(np.stack(prr_list).reshape(C * n2, cm))
+    pri = np.ascontiguousarray(np.stack(pri_list).reshape(C * n2, cm))
+
+    k = _dft_consts_v3(n, 1, cp)
+    osc_re, osc_im = _osc_table_v2((0.0,), float(sample_rate), n, n1, n2, 1)
+
+    x3_re = y.re.reshape(R * G, n1, n2)
+    x3_im = y.im.reshape(R * G, n1, n2)
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+    kern = _make_kernel_v3(precision, n1, n2, cp, block_axis=2)
+
+    def spec(shape, index_map):
+        return pl.BlockSpec(shape, index_map)
+
+    in_specs = [
+        spec((1, n1, n2), lambda r, c, b: (r * G + b, 0, 0)),   # x re
+        spec((1, n1, n2), lambda r, c, b: (r * G + b, 0, 0)),   # x im
+        spec((1, n1, n2), lambda r, c, b: (0, 0, 0)),           # osc (zero f)
+        spec((1, n1, n2), lambda r, c, b: (0, 0, 0)),
+        spec((n2, cm), lambda r, c, b: (c, 0)),                 # rep' chunk
+        spec((n2, cm), lambda r, c, b: (c, 0)),
+        spec((n1, n1), lambda r, c, b: (0, 0)),                 # L1 (ft=1)
+        spec((n1, n1), lambda r, c, b: (0, 0)),
+        spec((n1, n2), lambda r, c, b: (0, 0)),                 # fwd twiddle
+        spec((n1, n2), lambda r, c, b: (0, 0)),
+        spec((n2, n2), lambda r, c, b: (0, 0)),                 # d2 fwd
+        spec((n2, n2), lambda r, c, b: (0, 0)),
+        spec((n2, n2), lambda r, c, b: (0, 0)),                 # d2 inv^T
+        spec((n2, n2), lambda r, c, b: (0, 0)),
+        spec((n2, cm), lambda r, c, b: (0, 0)),                 # inv twiddle
+        spec((n2, cm), lambda r, c, b: (0, 0)),
+        spec((_LANE, _LANE), lambda r, c, b: (0, 0)),           # kron
+        spec((_LANE, _LANE), lambda r, c, b: (0, 0)),
+    ]
+    out_spec = spec((1, n2, cm), lambda r, c, b: (r * C + c, 0, 0))
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        kern,
+        grid=(R, C, G),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((R * C, n2, cm), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(x3_re, x3_im,
+      jnp.asarray(osc_re), jnp.asarray(osc_im),
+      jnp.asarray(prr), jnp.asarray(pri),
+      jnp.asarray(k["l1"][0]), jnp.asarray(k["l1"][1]),
+      jnp.asarray(k["t1f"][0]), jnp.asarray(k["t1f"][1]),
+      jnp.asarray(k["d2f"][0]), jnp.asarray(k["d2f"][1]),
+      jnp.asarray(k["d2iT"][0]), jnp.asarray(k["d2iT"][1]),
+      jnp.asarray(k["ttile"][0]), jnp.asarray(k["ttile"][1]),
+      jnp.asarray(k["g"][0]), jnp.asarray(k["g"][1]))
+
+    # (R*C, n2, (cL, n1)) -> per (row, chunk): (cp, n) channel-major, then
+    # channels -> (prn, coarse-in-chunk); concat chunks, stack rows
+    out = out.reshape(R, C, n2, cp, n1)
+    out = jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(R, C, cp, n)
+    out = out[:, :, : nprn * L].reshape(R, C, nprn, L, n)
+    per_chunk = [out[:, ci, :, : len(ch)]
+                 for ci, ch in enumerate(chunks)]
+    surf = jnp.concatenate(per_chunk, axis=2)     # (R, P, n_c, n)
+    surf = jnp.transpose(surf, (1, 2, 0, 3))      # (P, n_c, R, n)
+    return surf.reshape(nprn, n_c * R, n)
