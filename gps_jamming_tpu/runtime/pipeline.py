@@ -259,14 +259,23 @@ def iter_records(res: "rx_mod.ReceiverResult", frames, hold: bool,
                 fix = fix._replace(lat_deg=h_lat, lon_deg=h_lon,
                                    height_m=h_hgt)
         trk_f, dec_f = frame_lists(int(m / res.epoch_ms))
+        obs_rows = frame_observations(res, m, fix)
+        # TIME| = real GPS time once any channel has decoded (the
+        # reference renders the 1980 epoch before the first decode and
+        # the UTC of the common ToW after, sdrout.c:205-212)
+        week, tow = 0, float(frames.time_s[f])
+        for o in obs_rows:
+            if o["week"]:
+                week, tow = o["week"], o["tow"]
+                break
         rec = telemetry.make_record(
             elapsed_s=float(frames.time_s[f]),
-            time_s=float(frames.time_s[f]),
+            time_s=tow if week else float(frames.time_s[f]),
             buffcnt=int(frames.buffcnt[f]),
             acq_prns=acq_prns, tracked_prns=trk_f,
             decoded_prns=dec_f,
             fix=fix, hold=is_hold, filter_name=res.filter_name,
-            observations=frame_observations(res, m, fix))
+            observations=obs_rows, week=week)
         yield f, rec, fix
 
 
