@@ -246,10 +246,10 @@ def cmd_receiver(args) -> int:
         srx = rx_stream.StreamingReceiver(
             args.sample_rate, system=args.system,
             segment_s=args.segment_seconds, pvt_filter=args.filter)
-        max_seg = (None if args.max_seconds is None
-                   else max(int(args.max_seconds / args.segment_seconds), 1))
+        cap = (None if args.max_seconds is None
+               else int(args.max_seconds * args.sample_rate))
         res = srx.process_file(args.file, convention="centered",
-                               max_segments=max_seg)
+                               max_samples=cap)
     else:
         x = iq.read_iq_file(args.file, convention="centered",
                             count=(int(args.max_seconds
@@ -471,7 +471,7 @@ def cmd_benchmark(args) -> int:
     constellation, and/or weak-scaling sweep."""
     from .runtime import benchmarks
     out = {}
-    if not args.no_single and not args.receiver:
+    if not args.no_single:
         out["single_chip"] = benchmarks.single_chip()
     if args.receiver:
         out["receiver_chain"] = [

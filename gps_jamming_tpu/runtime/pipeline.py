@@ -138,15 +138,19 @@ def frame_observations(res: "rx_mod.ReceiverResult", frame_ms: int,
         local = epoch_g - st0
         if obs is None or obs.cn0_dbhz.size == 0:
             continue
-        covers = 0 <= local < min(obs.cn0_dbhz.size, obs.chips.size)
+        size = min(obs.cn0_dbhz.size, obs.chips.size)
+        if local < 0:
+            continue           # the satellite has not been tracked yet —
+            # a clipped row here would report data from the future
+        covers = local < size
         if not covers:
-            if obs.prn in seen:
+            # hold the last snapshot after the span ends, but only for
+            # the reference's obs-staleness bound (checkObsDelay resets
+            # channels whose obs go stale >90 s, sdrmain.c:464-511)
+            stale_epochs = int(90_000.0 / res.epoch_ms)
+            if obs.prn in seen or local - size > stale_epochs:
                 continue
-            # nearest-edge sample keeps a row alive between spans (the
-            # reference holds the last obs snapshot until reset)
-            local = int(np.clip(local, 0,
-                                min(obs.cn0_dbhz.size,
-                                    obs.chips.size) - 1))
+            local = size - 1
         elif obs.prn in seen and not seen[obs.prn][0]:
             pass                               # covering span wins
         elif obs.prn in seen:
@@ -362,8 +366,8 @@ def analyze_capture(paths: Sequence[str],
             srx = rx_stream.StreamingReceiver(
                 fs, system=system, segment_s=segment_s,
                 pvt_filter=pvt_filter)
-            max_seg = (None if max_seconds is None
-                       else max(int(max_seconds / segment_s), 1))
+            cap = (None if max_seconds is None
+                   else int(max_seconds * fs))
             segment_cb = None
             if sink is not None:
                 live_hold = telemetry.HoldPositionFilter()
@@ -391,7 +395,7 @@ def analyze_capture(paths: Sequence[str],
                     emitted[0] = n_frames
 
             res = srx.process_file(paths[0], convention="centered",
-                                   max_segments=max_seg,
+                                   max_samples=cap,
                                    segment_cb=segment_cb)
         else:
             res = rx_mod.run_receiver(x, fs, system=system,

@@ -143,6 +143,12 @@ class StreamingReceiver:
         self._dev_tabs: tuple | None = None
         self._jit_acquire = jax.jit(self._acquire_packed)
         self._jit_refine = jax.jit(self._refine_traced)
+        # decoded-observables cache: (sat, start_epoch, n_epochs) -> obs.
+        # Live snapshots re-run _decode_pvt every few segments; closed
+        # intervals hit this cache exactly, and open intervals decode a
+        # BUCKETED prefix (snapshot path) so their key only changes every
+        # few segments — keeps live emission ~O(n) instead of O(n^2).
+        self._obs_cache: dict = {}
 
     # -- acquisition over a segment head ---------------------------------
     def _acquire_traced(self, xp, seg_start):
@@ -224,6 +230,7 @@ class StreamingReceiver:
     def process_file(self, path: str, verbose: bool = False,
                      convention: str = "centered",
                      max_segments: int | None = None,
+                     max_samples: int | None = None,
                      segment_cb=None) -> ReceiverResult:
         """Streaming path: bounded HBM for arbitrarily long captures.
 
@@ -244,6 +251,9 @@ class StreamingReceiver:
         W = self.segment_window_samples()
         n_bytes = os.path.getsize(path)
         n = n_bytes // 2
+        if max_samples is not None:
+            # a cap truncates exactly like EOF: whole segments only
+            n = min(n, int(max_samples))
         n_seg = (n - self.su["n_code"]) // S
         if max_segments is not None:
             n_seg = min(n_seg, max_segments)
@@ -373,7 +383,11 @@ class StreamingReceiver:
                     eff = dopp[new_idx].astype(np.float32)
                     if o2 is not None:
                         eff = eff + o2
-                    abs_lag = (lags[new_idx] + seg_start).astype(np.int64)
+                    # round the (float32-fetched) lag BEFORE the int64
+                    # add: f32 spacing at 63M samples is 4, which would
+                    # bias the re-acquired code phase by whole samples
+                    abs_lag = (np.round(lags[new_idx]).astype(np.int64)
+                               + seg_start)
                     fine = self._refine(
                         xw, t2, (abs_lag - base).astype(np.int32), eff,
                         c2, o2)
@@ -482,8 +496,9 @@ class StreamingReceiver:
                         ivs.append(dataclasses.replace(oiv))
                         sp.append((oiv.sat_id, oiv.start_epoch,
                                    oiv.start_epoch + oiv.n_epochs))
-                    return self._decode_pvt(ivs, acq_seen, sp,
-                                            cn0_sum, cn0_cnt, _upto)
+                    return self._decode_pvt(
+                        ivs, acq_seen, sp, cn0_sum, cn0_cnt, _upto,
+                        prefix_bucket=4 * self.seg_epochs)
                 segment_cb(seg + 1, n_seg, snapshot)
         for s in list(open_iv):
             close(s)
@@ -492,7 +507,8 @@ class StreamingReceiver:
                                 cn0_sum, cn0_cnt, total_epochs)
 
     def _decode_pvt(self, intervals, acq_seen, spans, cn0_sum, cn0_cnt,
-                    upto_epochs: int) -> ReceiverResult:
+                    upto_epochs: int,
+                    prefix_bucket: int | None = None) -> ReceiverResult:
         """Decode the tracking intervals and run PVT up to `upto_epochs`.
 
         Pure with respect to its inputs (fresh ChannelResult copies, fresh
@@ -512,25 +528,40 @@ class StreamingReceiver:
         obs_spans: list[tuple[int, object]] = []
         eph_cache: dict[int, object] = {}
         for iv in intervals:
-            if iv.n_epochs <= skip + 1:
+            n_use = iv.n_epochs
+            if prefix_bucket:
+                n_use = (n_use // prefix_bucket) * prefix_bucket
+            if n_use <= skip + 1:
                 continue
-            if float(np.median(iv.cn0[-200:])) < self.min_cn0:
+            if float(np.median(iv.cn0[:n_use][-200:])) < self.min_cn0:
                 continue
-            args = dict(i_prompt=iv.i_prompt, code_rem=iv.code_rem,
-                        carr_freq=iv.carr_freq, cn0=iv.cn0,
-                        skip_epochs=skip,
-                        sample_offset=iv.sample_offset
-                        - iv.start_epoch * self.n_epoch,
-                        epoch_samples=self.n_epoch)
-            if self.system == "gps":
-                obs = observables.build_channel_observables(
-                    prn=iv.sat_id, **args)
-            elif self.system == "galileo":
-                obs = systems.build_galileo_observables(
-                    prn=iv.sat_id, **args)
+            key = (iv.sat_id, iv.start_epoch, n_use)
+            if key in self._obs_cache:
+                obs = self._obs_cache[key]
             else:
-                obs = systems.build_glonass_observables(
-                    freq_ch=iv.sat_id, **args)
+                args = dict(i_prompt=iv.i_prompt[:n_use],
+                            code_rem=iv.code_rem[:n_use],
+                            carr_freq=iv.carr_freq[:n_use],
+                            cn0=iv.cn0[:n_use],
+                            skip_epochs=skip,
+                            sample_offset=iv.sample_offset
+                            - iv.start_epoch * self.n_epoch,
+                            epoch_samples=self.n_epoch)
+                if self.system == "gps":
+                    obs = observables.build_channel_observables(
+                        prn=iv.sat_id, **args)
+                elif self.system == "galileo":
+                    obs = systems.build_galileo_observables(
+                        prn=iv.sat_id, **args)
+                else:
+                    obs = systems.build_glonass_observables(
+                        freq_ch=iv.sat_id, **args)
+                # supersede shorter prefixes of the same interval so
+                # the cache stays O(n_intervals), not O(n * emissions)
+                for k in [k for k in self._obs_cache
+                          if k[:2] == key[:2] and k[2] < n_use]:
+                    del self._obs_cache[k]
+                self._obs_cache[key] = obs
             log(f"interval sat {iv.sat_id} slot {iv.slot} "
                 f"start_ep {iv.start_epoch} n {iv.n_epochs} "
                 f"obs {'OK' if obs is not None else 'None'} "

@@ -282,3 +282,12 @@ def test_analyze_capture_max_seconds_streaming(capture_set):
     # cut (rounded up to the partial final power chunk, worker behavior)
     (s_b, e_b), = r1.power_ranges
     assert e_b <= (int(0.5 * FS) + 32768) * 2
+
+    # with the receiver on, the cap truncates the streaming receiver
+    # exactly like EOF would: whole segments within the capped span
+    r3 = pipeline.analyze_capture([paths[0]], run_receiver=True,
+                                  localize=False, streaming=True,
+                                  segment_s=0.25, max_seconds=0.6)
+    n_ep = r3.receiver.cn0_epochs.size
+    assert n_ep <= 600                     # never beyond the cap
+    assert n_ep == 500                     # floor(0.6 s / 0.25 s) segments
