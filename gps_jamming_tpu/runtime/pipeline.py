@@ -386,13 +386,20 @@ def analyze_capture(paths: Sequence[str],
                     ptrace = _detector_trace_bucketed(
                         pf, ranges_pad, n_ranges, cfg.detector)
                     pjam = np.asarray(ptrace.is_jamming)
+                    # hold back the boundary frame mid-run: its epoch sits
+                    # exactly at the covered-span edge, so its TRACKED/
+                    # DECODED lists would be empty here but populated in
+                    # the authoritative post-hoc log — emit it next cycle
+                    stop = n_frames - 1 if done < n_total else n_frames
                     for f, rec, fix in iter_records(
                             part, pf, hold, live_hold,
                             start_frame=emitted[0]):
+                        if f >= stop:
+                            break
                         rec["jamming"] = bool(pjam[f]) \
                             if f < pjam.size else False
                         sink(rec)
-                    emitted[0] = n_frames
+                    emitted[0] = stop
 
             res = srx.process_file(paths[0], convention="centered",
                                    max_samples=cap,

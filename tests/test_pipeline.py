@@ -259,8 +259,7 @@ def test_live_sink_streams_records_during_analysis(capture_set):
     assert len(final) >= len(pushed)
     for live, post in zip(pushed, final):
         live = {k: v for k, v in live.items() if k != "jamming"}
-        assert live["position"]["buffcnt"] == post["position"]["buffcnt"]
-        assert live["elapsed_time"] == post["elapsed_time"]
+        assert live == post, (live, post)
     # the jam flag reached the live stream inside the jam window
     jam_live = [r for r in pushed if r.get("jamming")]
     assert any(0.3 < r["elapsed_time"] <= 1.0 for r in jam_live)
