@@ -249,7 +249,9 @@ def cmd_receiver(args) -> int:
         cap = (None if args.max_seconds is None
                else int(args.max_seconds * args.sample_rate))
         res = srx.process_file(args.file, convention="centered",
-                               max_samples=cap)
+                               max_samples=cap,
+                               checkpoint_path=args.checkpoint,
+                               resume=args.resume)
     else:
         x = iq.read_iq_file(args.file, convention="centered",
                             count=(int(args.max_seconds
@@ -657,6 +659,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="segmented receiver with channel health resets + "
                         "re-acquisition (long / jam-interrupted captures)")
     r.add_argument("--segment-seconds", type=float, default=4.0)
+    r.add_argument("--checkpoint",
+                   help="with --streaming: persist receiver state here "
+                        "every ~60 s of capture (resume long runs)")
+    r.add_argument("--resume", action="store_true",
+                   help="restore --checkpoint state and continue; the "
+                        "result equals the uninterrupted run exactly")
     r.add_argument("--filter", default="wls", choices=["wls", "ekf"],
                    help="PVT filter: wls (blsFilter parity) or ekf — "
                         "the 8-state coasting EKF the reference reserves "

@@ -231,7 +231,10 @@ class StreamingReceiver:
                      convention: str = "centered",
                      max_segments: int | None = None,
                      max_samples: int | None = None,
-                     segment_cb=None) -> ReceiverResult:
+                     segment_cb=None,
+                     checkpoint_path: str | None = None,
+                     checkpoint_every_s: float = 60.0,
+                     resume: bool = False) -> ReceiverResult:
         """Streaming path: bounded HBM for arbitrarily long captures.
 
         Feeds the receiver from `native.reader.CaptureReader` (the C++
@@ -244,8 +247,30 @@ class StreamingReceiver:
 
         convention: 'centered' (x-127.5, default receiver contract),
         'int8' (x-128) or 'normalized' ((x-127.5)/127.5).
+
+        checkpoint_path: periodically persist the full receiver state
+        (slot assignments, device tracking state, intervals, spans,
+        C/N0 accumulators) at segment boundaries; resume=True restores
+        it and continues from the saved segment, producing EXACTLY the
+        uninterrupted run's result (the checkpoint/resume role SURVEY §5
+        assigns to long captures; the reference has none — rerun is its
+        only recovery). The reader re-skips the file prefix on resume
+        (sequential IO only).
         """
+        import pickle
+
         from ..native.reader import CaptureReader
+
+        ckpt = None
+        if checkpoint_path is not None:
+            seg_s = self.seg_epochs * self.su["epoch_ms"] * 1e-3
+            state = None
+            if resume and os.path.exists(checkpoint_path):
+                with open(checkpoint_path, "rb") as f:
+                    state = pickle.load(f)
+            ckpt = {"path": checkpoint_path,
+                    "every": max(int(round(checkpoint_every_s / seg_s)), 1),
+                    "state": state}
 
         S = self.seg_epochs * self.n_epoch
         W = self.segment_window_samples()
@@ -299,13 +324,13 @@ class StreamingReceiver:
 
         try:
             return self._process_core(get_window, n_seg, verbose,
-                                      segment_cb=segment_cb)
+                                      segment_cb=segment_cb, ckpt=ckpt)
         finally:
             reader.close()
 
     def _process_core(self, get_window, n_seg: int,
                       verbose: bool = False,
-                      segment_cb=None) -> ReceiverResult:
+                      segment_cb=None, ckpt=None) -> ReceiverResult:
         log = print if verbose else (lambda *a: None)
         su = self.su
         ids = su["ids"]
@@ -336,6 +361,66 @@ class StreamingReceiver:
         cn0_cnt = np.zeros(total_epochs, np.int64)
         acq_next_seg = 0                       # acquisition holdoff gate
 
+        start_seg = 0
+        if ckpt is not None and ckpt.get("state"):
+            s0 = ckpt["state"]
+            start_seg = s0["next_seg"]
+            slot_sat[:] = s0["slot_sat"]
+            slot_next[:] = s0["slot_next"]
+            slot_birth[:] = s0["slot_birth"]
+            slot_bad[:] = s0["slot_bad"]
+            tab[:] = s0["tab"]
+            carr[:] = s0["carr"]
+            offhz[:] = s0["offhz"]
+            st = type(st)(**{f: jnp.asarray(v)
+                             for f, v in s0["st"].items()})
+            intervals.extend(s0["intervals"])
+            open_iv.update(s0["open_iv"])
+            acq_seen.update(s0["acq_seen"])
+            spans.extend(s0["spans"])
+            m = min(s0["cn0_sum"].size, cn0_sum.size)
+            cn0_sum[:m] = s0["cn0_sum"][:m]
+            cn0_cnt[:m] = s0["cn0_cnt"][:m]
+            acq_next_seg = s0["acq_next_seg"]
+            self._dev_tabs = None
+
+        def save_checkpoint(next_seg: int) -> None:
+            """Atomic pickle of the full receiver state at a segment
+            boundary (arrays copied; interval data arrays are replaced,
+            never mutated in place, so sharing them is safe)."""
+            import pickle
+            import tempfile
+            state = {
+                "next_seg": next_seg,
+                "slot_sat": slot_sat.copy(),
+                "slot_next": slot_next.copy(),
+                "slot_birth": slot_birth.copy(),
+                "slot_bad": slot_bad.copy(),
+                "tab": tab.copy(), "carr": carr.copy(),
+                "offhz": offhz.copy(),
+                "st": {f: np.asarray(getattr(st, f))
+                       for f in st._fields},
+                "intervals": list(intervals),
+                "open_iv": {k: dataclasses.replace(v)
+                            for k, v in open_iv.items()},
+                "acq_seen": {k: dataclasses.replace(v)
+                             for k, v in acq_seen.items()},
+                "spans": list(spans),
+                "cn0_sum": cn0_sum.copy(),
+                "cn0_cnt": cn0_cnt.copy(),
+                "acq_next_seg": acq_next_seg,
+            }
+            d = os.path.dirname(os.path.abspath(ckpt["path"]))
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    pickle.dump(state, f)
+                os.replace(tmp, ckpt["path"])
+            except BaseException:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
+
         def close(slot, trim_epochs: int = 0):
             iv = open_iv.pop(slot, None)
             if iv is None:
@@ -357,7 +442,7 @@ class StreamingReceiver:
                           iv.start_epoch + iv.n_epochs))
             intervals.append(iv)
 
-        for seg in range(n_seg):
+        for seg in range(start_seg, n_seg):
             seg_ep = seg * self.seg_epochs
             seg_start = seg_ep * self.n_epoch
             base, xw = get_window(seg)
@@ -485,6 +570,9 @@ class StreamingReceiver:
                     f"{float(np.median(cn0[-200:, s])):.0f}"
                     for s in range(self.n_slots))
                 + " bad: " + ",".join(str(v) for v in slot_bad))
+            if ckpt is not None and (seg + 1) % ckpt["every"] == 0 \
+                    and seg + 1 < n_seg:
+                save_checkpoint(seg + 1)
             if segment_cb is not None:
                 def snapshot(_upto=(seg + 1) * self.seg_epochs):
                     """Decode + PVT over the data so far (pure function

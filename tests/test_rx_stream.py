@@ -119,3 +119,23 @@ def test_process_file_matches_one_shot(tmp_path):
     errs = [np.linalg.norm(f.pos_ecef - rx_ecef)
             for f in res2.fixes if f.valid]
     assert errs and np.median(errs) < 30.0
+
+    # --- checkpoint/resume: interrupted + resumed == uninterrupted ------
+    # (SURVEY §5 checkpoint role; the reference's only recovery is rerun)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        ck = f"{d}/rx.ckpt"
+        rx3 = rx_stream.StreamingReceiver(FS, system="gps", segment_s=2.0)
+        rx3.process_file(path, convention="centered", max_segments=6,
+                         checkpoint_path=ck, checkpoint_every_s=4.0)
+        import os
+        assert os.path.exists(ck), "no checkpoint written"
+        rx4 = rx_stream.StreamingReceiver(FS, system="gps", segment_s=2.0)
+        res4 = rx4.process_file(path, convention="centered",
+                                checkpoint_path=ck, resume=True)
+    assert res4.fix_epochs == res2.fix_epochs
+    for f2, f4 in zip(res2.fixes, res4.fixes):
+        assert f2.valid == f4.valid
+        np.testing.assert_array_equal(f2.pos_ecef, f4.pos_ecef)
+    np.testing.assert_array_equal(res4.cn0_epochs, res2.cn0_epochs)
+    assert res4.tracked_spans == res2.tracked_spans
