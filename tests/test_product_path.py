@@ -111,6 +111,21 @@ def test_detect_product_path_long_jammed_capture(tmp_path):
     series = analysis.per_prn_series(recs)
     assert len(series) >= 4
 
+    # self-produced records satisfy the reference-corpus schema contract
+    # (the same key sets the 41 archived gnssdec campaigns are checked
+    # against) and replay through the detector frame extractor
+    from tests.test_reference_corpus import (OBS_KEYS, POS_KEYS,
+                                             SCHEMA_KEYS)
+    for r in recs:
+        assert SCHEMA_KEYS <= set(r)
+        assert POS_KEYS <= set(r["position"])
+        for o in r["observations"]:
+            assert OBS_KEYS <= set(o)
+    from gps_jamming_tpu.config import DEFAULT_CONFIG
+    from gps_jamming_tpu.runtime import telemetry as tel
+    frames2 = tel.frames_from_records(recs, DEFAULT_CONFIG.detector)
+    assert np.asarray(frames2.buffcnt).max() > 0
+
 
 @pytest.mark.slow
 def test_streaming_product_path_galileo_and_glonass(tmp_path):
