@@ -52,6 +52,48 @@ def range_from_iq(iq_normalized: jax.Array, cfg: RssiConfig) -> RangingResult:
     return RangingResult(dist, prx, mean_amp, onset)
 
 
+def range_from_file(path: str, cfg: RssiConfig,
+                    chunk_samples: int = 1 << 21) -> float:
+    """Bounded-memory twin of `range_from_iq` for a capture FILE.
+
+    Streams the normalized amplitude in chunks (host memory = one chunk,
+    ~16 MB), finds the turn-on sample and accumulates the post-onset
+    mean amplitude in float64 — the calculate_distance_from_file math
+    (triangulateRSSI.py:54-82) without loading the capture. Returns the
+    distance in meters (NaN when the threshold is never crossed).
+    """
+    from ..ops import iq as iq_ops
+
+    onset = -1
+    amp_sum = 0.0
+    amp_cnt = 0
+    g0 = 0
+    while True:
+        x = iq_ops.read_iq_file(path, convention="normalized",
+                                count=2 * chunk_samples,
+                                offset_bytes=2 * g0)
+        if x.size == 0:
+            break
+        amp = np.abs(x).astype(np.float32)
+        if onset < 0:
+            above = amp > cfg.signal_threshold
+            if above.any():
+                i = int(np.argmax(above))
+                onset = g0 + i
+                amp_sum += float(np.sum(amp[i:], dtype=np.float64))
+                amp_cnt += amp.size - i
+        else:
+            amp_sum += float(np.sum(amp, dtype=np.float64))
+            amp_cnt += amp.size
+        g0 += x.size
+    if onset < 0 or amp_cnt == 0:
+        return float("nan")
+    mean_amp = max(amp_sum / amp_cnt, 1e-12)
+    prx = float(pathloss.received_power_db(jnp.float32(mean_amp)))
+    return float(pathloss.invert_distance_m(
+        prx, cfg.tx_power_dbm, cfg.path_loss_exponent, cfg.frequency_mhz))
+
+
 def error_surface(positions: jax.Array, radii: jax.Array,
                   grid_density: int, range_multiplier: float):
     """Sum-abs-error surface over the search grid (triangulateRSSI.py:88-114).
@@ -145,12 +187,46 @@ def triangulate(file_iqs: Sequence[jax.Array],
                 "message": "At least 2 antenna captures are required.",
                 "num_antennas": len(file_iqs)}
 
-    distances, valid_pos, valid_r = [], [], []
-    for i, x in enumerate(file_iqs):
-        r = range_from_iq(x, cfg)
-        d = float(r.distance_m)
+    distances = []
+    for x in file_iqs:
+        d = float(range_from_iq(x, cfg).distance_m)
         distances.append(None if np.isnan(d) else d)
-        if not np.isnan(d) and i < len(antenna_positions_m):
+    return _localize_from_distances(distances, antenna_positions_m,
+                                    reference_lat, reference_lon, cfg,
+                                    len(file_iqs))
+
+
+def triangulate_files(paths: Sequence[str],
+                      antenna_positions_m: Sequence,
+                      reference_lat: float = 50.00898,
+                      reference_lon: float = 19.98287,
+                      cfg: RssiConfig = RssiConfig()) -> dict:
+    """`triangulate` fed by streamed per-file ranging (bounded host
+    memory: the whole-capture load of triangulateRSSI.py replaced by
+    chunked amplitude accumulation)."""
+    default_pos = [(0.0, 0.0), (0.5, 0.0), (0.0, 0.5)]
+    if antenna_positions_m is None:
+        antenna_positions_m = default_pos[:len(paths)]
+    if len(paths) < 2:
+        return {"success": False, "distances": None, "location_meters": None,
+                "location_geographic": None,
+                "message": "At least 2 antenna captures are required.",
+                "num_antennas": len(paths)}
+    distances = []
+    for p in paths:
+        d = range_from_file(p, cfg)
+        distances.append(None if np.isnan(d) else d)
+    return _localize_from_distances(distances, antenna_positions_m,
+                                    reference_lat, reference_lon, cfg,
+                                    len(paths))
+
+
+def _localize_from_distances(distances, antenna_positions_m,
+                             reference_lat, reference_lon, cfg,
+                             n_antennas: int) -> dict:
+    valid_pos, valid_r = [], []
+    for i, d in enumerate(distances):
+        if d is not None and i < len(antenna_positions_m):
             valid_pos.append(antenna_positions_m[i])
             valid_r.append(d)
 
@@ -158,7 +234,7 @@ def triangulate(file_iqs: Sequence[jax.Array],
         return {"success": False, "distances": distances,
                 "location_meters": None, "location_geographic": None,
                 "message": f"Ranging succeeded on only {len(valid_r)} antennas (min 2).",
-                "num_antennas": len(file_iqs)}
+                "num_antennas": n_antennas}
 
     best = grid_search(jnp.asarray(valid_pos, jnp.float32),
                        jnp.asarray(valid_r, jnp.float32),

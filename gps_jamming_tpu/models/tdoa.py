@@ -126,6 +126,79 @@ def hyperbolic_grid_fix(antenna_positions_m: Sequence, pair_ids: Sequence,
     return np.asarray(jnp.stack([xs[ix], ys[iy]]))
 
 
+def file_onset(path: str, cfg: TdoaConfig,
+               chunk_samples: int = 1 << 21) -> int:
+    """Bounded-memory interference-onset search over a capture FILE.
+
+    Same contract as ops.power.find_onset (triangulateTDOA.py:37-49):
+    noise floor = mean power of the first noise_sample_size samples,
+    onset = first index whose window moving average exceeds
+    factor * floor, recentered by window//2; -1 when never crossed.
+    Host memory = one chunk (+ window carry)."""
+    from ..ops import iq as iq_ops
+
+    x0 = iq_ops.read_iq_file(path, convention="centered",
+                             count=2 * cfg.noise_sample_size)
+    if x0.size == 0:
+        return -1
+    p0 = (x0.real.astype(np.float32) ** 2 + x0.imag.astype(np.float32) ** 2)
+    noise = float(np.mean(p0)) or 1e-9
+    thr = noise * cfg.detection_threshold_factor
+    w = cfg.detection_window_size
+
+    carry = np.zeros(0, np.float64)
+    g0 = 0                                # global index of carry[0]
+    read_at = 0
+    while True:
+        x = iq_ops.read_iq_file(path, convention="centered",
+                                count=2 * chunk_samples,
+                                offset_bytes=2 * read_at)
+        if x.size == 0:
+            return -1
+        read_at += x.size
+        pw = (x.real.astype(np.float32) ** 2
+              + x.imag.astype(np.float32) ** 2).astype(np.float64)
+        seq = np.concatenate([carry, pw])
+        if seq.size >= w:
+            c = np.concatenate([[0.0], np.cumsum(seq)])
+            avg = (c[w:] - c[:-w]) / w
+            above = avg > thr
+            if above.any():
+                return g0 + int(np.argmax(above)) + w // 2
+            keep = w - 1
+            g0 += seq.size - keep
+            carry = seq[-keep:]
+        else:
+            carry = seq
+
+
+def localize_files(paths: Sequence[str], antenna_positions_m: Sequence,
+                   sample_rate: float,
+                   cfg: TdoaConfig = TdoaConfig()) -> dict:
+    """`localize` fed from capture FILES with bounded host memory: the
+    onset scan streams chunks and only the correlation slices
+    (50 000 samples each, triangulateTDOA.py:80-83) are read in full."""
+    from ..ops import iq as iq_ops
+
+    starts = []
+    slices_np = []
+    L = cfg.correlation_slice_size
+    for p in paths:
+        s0 = file_onset(p, cfg)
+        if s0 < 0:
+            raise ValueError("interference onset not detected")
+        sl = iq_ops.read_iq_file(p, convention="centered",
+                                 count=2 * L, offset_bytes=2 * s0)
+        if sl.size < L:
+            raise ValueError("not enough samples after onset for the slice")
+        starts.append(s0)
+        slices_np.append(sl)
+    slices = cplx.stack([cplx.from_complex(jnp.asarray(sl))
+                         for sl in slices_np])
+    return _localize_from_slices(slices, starts, len(paths),
+                                 antenna_positions_m, sample_rate, cfg)
+
+
 def localize(iq_list: Sequence[jax.Array], antenna_positions_m: Sequence,
              sample_rate: float, cfg: TdoaConfig = TdoaConfig()) -> dict:
     """Full TDOA pipeline over N >= 2 antennas.
@@ -134,8 +207,14 @@ def localize(iq_list: Sequence[jax.Array], antenna_positions_m: Sequence,
     N >= 3, a hyperbolic grid position fix.
     """
     slices, onsets = aligned_slices(iq_list, cfg)
+    return _localize_from_slices(slices, onsets, len(iq_list),
+                                 antenna_positions_m, sample_rate, cfg)
+
+
+def _localize_from_slices(slices, onsets, n_ant, antenna_positions_m,
+                          sample_rate, cfg) -> dict:
     lags = np.asarray(pair_lags(slices, cfg))
-    pairs = list(itertools.combinations(range(len(iq_list)), 2))
+    pairs = list(itertools.combinations(range(n_ant), 2))
 
     results = []
     path_diffs = []
@@ -148,7 +227,7 @@ def localize(iq_list: Sequence[jax.Array], antenna_positions_m: Sequence,
         path_diffs.append(r["path_difference_m"])
 
     out = {"onsets": onsets, "pairs": results, "position_m": None}
-    if len(iq_list) >= 3:
+    if n_ant >= 3:
         fix = hyperbolic_grid_fix(antenna_positions_m, pairs, path_diffs)
         out["position_m"] = [float(fix[0]), float(fix[1])]
     return out

@@ -152,9 +152,11 @@ def receiver_chain(system: str = "gps", seconds: float = 6.0,
       - the device tracking-scan cost alone via slope timing (the honest
         per-kernel number; host work overlaps it in steady state).
     """
+    import tempfile
+
     import jax
 
-    from ..ops import cplx
+    from ..ops import cplx, iq as iq_ops
     from . import rx_stream
 
     sig, fs = _bench_capture(system, seconds)
@@ -163,12 +165,17 @@ def receiver_chain(system: str = "gps", seconds: float = 6.0,
                                      segment_s=segment_s)
     xp = cplx.from_complex(sig)
 
-    t0 = time.perf_counter()
-    rx.process(xp)                             # warm-up: compiles
-    warm_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    res = rx.process(xp)
-    wall = time.perf_counter() - t0
+    # the PRODUCT path: uint8 capture on disk -> process_file (int8
+    # segment windows uploaded + converted on device, bounded HBM)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/bench_{system}.bin"
+        iq_ops.write_iq_file(path, (sig * 12.0).astype(np.complex64))
+        t0 = time.perf_counter()
+        rx.process_file(path, convention="centered")   # warm-up: compiles
+        warm_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = rx.process_file(path, convention="centered")
+        wall = time.perf_counter() - t0
 
     # device tracking-scan slope time (one segment, all slots)
     import jax.numpy as jnp

@@ -433,12 +433,21 @@ def analyze_capture(paths: Sequence[str],
     td = None
     if localize and events and antenna_positions is not None \
             and len(paths) >= 2:
-        caps = [(iq_ops.read_iq_file(p, convention="normalized"))
-                for p in paths]
-        loc = rssi.triangulate(caps, antenna_positions, cfg=cfg.rssi)
-        if len(paths) >= 2:
-            caps_c = [(iq_ops.read_iq_file(p,
-                                                      convention="centered"))
+        if streaming:
+            # bounded host memory: streamed ranging + onset scans (the
+            # in-memory path loads every antenna capture in full)
+            loc = rssi.triangulate_files(paths, antenna_positions,
+                                         cfg=cfg.rssi)
+            try:
+                td = tdoa.localize_files(paths, antenna_positions, fs,
+                                         cfg=cfg.tdoa)
+            except Exception:
+                td = None
+        else:
+            caps = [(iq_ops.read_iq_file(p, convention="normalized"))
+                    for p in paths]
+            loc = rssi.triangulate(caps, antenna_positions, cfg=cfg.rssi)
+            caps_c = [(iq_ops.read_iq_file(p, convention="centered"))
                       for p in paths]
             try:
                 td = tdoa.localize(caps_c, antenna_positions, fs,

@@ -121,8 +121,15 @@ class StreamingReceiver:
         # per-slot loop staging: epoch index seen by the FLL/PLL stage
         # switch is the slot's AGE (epochs since its own acquisition) —
         # k runs 0..seg_epochs within a segment, so start_epoch = age
-        def _run_packed(st, x, offs_ages, tab, carr, offhz):
+        def _run_packed(st, x, offs_ages, tab, carr, offhz):  # noqa: E306
             offs, ages = offs_ages[0], offs_ages[1]
+            if jnp.issubdtype(x.re.dtype, jnp.integer):
+                # int8 window from process_file: convert on DEVICE — the
+                # host->device transfer is 4x smaller than float32 planes
+                # (320 MB/segment at GLONASS 10 MS/s x 4 s)
+                off, scale = self._ingest_conv
+                x = cplx.CArray((x.re.astype(jnp.float32) + off) * scale,
+                                (x.im.astype(jnp.float32) + off) * scale)
             st2, outs = self._run(
                 st, x, start_epoch=ages, start_offsets=offs,
                 table_arg=tab, carrier_arg=carr, offset_arg=offhz,
@@ -133,6 +140,7 @@ class StreamingReceiver:
             packed = jnp.stack([outs.i_prompt, outs.code_rem_chips,
                                 outs.carr_freq_hz, outs.cn0_dbhz])
             return st2, packed
+        self._run_packed_fn = _run_packed
         self._jit_run = jax.jit(_run_packed)
         # device-side caches: the code table / carrier / FDMA offsets are
         # re-uploaded only when a slot assignment changes (per-segment
@@ -141,6 +149,7 @@ class StreamingReceiver:
         # runs as ONE jitted dispatch each (eager acquire_all was ~1 s of
         # per-op round trips per segment on axon).
         self._dev_tabs: tuple | None = None
+        self._ingest_conv = (0.5, 1.0)       # process_file int8 contract
         self._jit_acquire = jax.jit(self._acquire_packed)
         self._jit_refine = jax.jit(self._refine_traced)
         # decoded-observables cache: (sat, start_epoch, n_epochs) -> obs.
@@ -153,6 +162,10 @@ class StreamingReceiver:
     # -- acquisition over a segment head ---------------------------------
     def _acquire_traced(self, xp, seg_start):
         su, cfg = self.su, self.acq_cfg
+        if jnp.issubdtype(xp.re.dtype, jnp.integer):
+            off, scale = self._ingest_conv
+            xp = cplx.CArray((xp.re.astype(jnp.float32) + off) * scale,
+                             (xp.im.astype(jnp.float32) + off) * scale)
         n_code = su["n_code"]
         blocks = cplx.apply(
             lambda a: jax.lax.dynamic_slice(
@@ -177,6 +190,10 @@ class StreamingReceiver:
         return np.asarray(self._jit_acquire(xp, jnp.int32(seg_start)))
 
     def _refine_traced(self, xp, tab, lags, eff, carr, offhz):
+        if jnp.issubdtype(xp.re.dtype, jnp.integer):
+            off, scale = self._ingest_conv
+            xp = cplx.CArray((xp.re.astype(jnp.float32) + off) * scale,
+                             (xp.im.astype(jnp.float32) + off) * scale)
         return acq_mod.refine_doppler(
             xp, tab, lags, eff, self.fs, self.su["chip_rate"],
             carrier_hz=carr, nominal_offset_hz=offhz)
@@ -290,6 +307,14 @@ class StreamingReceiver:
             off, scale = 0.5, 1.0 / 127.5
         else:
             raise ValueError(f"unknown convention {convention!r}")
+        conv = (np.float32(off), np.float32(scale))
+        if conv != self._ingest_conv:
+            # the conversion constants are baked into the traced fns —
+            # re-wrap the jits when a reused receiver switches convention
+            self._ingest_conv = conv
+            self._jit_run = jax.jit(self._run_packed_fn)
+            self._jit_acquire = jax.jit(self._acquire_packed)
+            self._jit_refine = jax.jit(self._refine_traced)
 
         reader = CaptureReader(path, block_samples=S)
         it = iter(reader)
@@ -310,7 +335,9 @@ class StreamingReceiver:
             fetch_upto(seg + 1)
             head = buf.get(seg)
             tail = buf.get(seg + 1)
-            w = np.zeros((2, W), np.float32)
+            # int8 planes: the jitted consumers convert on device (the
+            # upload is the per-segment cost on a tunneled runtime)
+            w = np.zeros((2, W), np.int8)
             if head is not None:
                 m = min(head.shape[1], W)
                 w[:, :m] = head[:, :m]
@@ -318,7 +345,6 @@ class StreamingReceiver:
                 m = min(tail.shape[1], W - S)
                 w[:, S:S + m] = tail[:, :m]
             buf.pop(seg - 1, None)             # keep only seg, seg+1
-            w = (w + off) * scale
             return seg * S, cplx.CArray(jnp.asarray(w[0]),
                                         jnp.asarray(w[1]))
 

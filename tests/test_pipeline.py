@@ -290,3 +290,33 @@ def test_analyze_capture_max_seconds_streaming(capture_set):
     n_ep = r3.receiver.cn0_epochs.size
     assert n_ep <= 600                     # never beyond the cap
     assert n_ep == 500                     # floor(0.6 s / 0.25 s) segments
+
+
+def test_file_streamed_localization_matches_in_memory(capture_set):
+    """Bounded-memory localization (streamed RSSI ranging + TDOA onset
+    scans) agrees with the whole-capture in-memory path."""
+    import jax.numpy as jnp
+
+    from gps_jamming_tpu.config import DEFAULT_CONFIG as CFG
+    from gps_jamming_tpu.models import rssi, tdoa
+    from gps_jamming_tpu.ops import iq as iq_ops
+
+    paths, ants = capture_set
+    caps = [jnp.asarray(iq_ops.read_iq_file(p, convention="normalized"))
+            for p in paths]
+    mem = rssi.triangulate(caps, ants, cfg=CFG.rssi)
+    fil = rssi.triangulate_files(paths, ants, cfg=CFG.rssi)
+    assert fil["success"] and mem["success"]
+    np.testing.assert_allclose(fil["distances"], mem["distances"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(fil["location_meters"],
+                               mem["location_meters"], atol=0.2)
+
+    caps_c = [jnp.asarray(iq_ops.read_iq_file(p, convention="centered"))
+              for p in paths]
+    FS = 2.048e6
+    mem_td = tdoa.localize(caps_c, ants, FS, cfg=CFG.tdoa)
+    fil_td = tdoa.localize_files(paths, ants, FS, cfg=CFG.tdoa)
+    assert fil_td["onsets"] == mem_td["onsets"]
+    for a, b in zip(fil_td["pairs"], mem_td["pairs"]):
+        assert a["lag_samples"] == b["lag_samples"]
