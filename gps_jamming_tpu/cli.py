@@ -692,7 +692,8 @@ def build_parser() -> argparse.ArgumentParser:
     bm.add_argument("--receiver",
                     help="comma list of constellations to benchmark the "
                          "full receiver chain on (gps,galileo,glonass) "
-                         "at native sample rates")
+                         "at native sample rates; combine with "
+                         "--no-single to skip the flagship sweep")
     bm.add_argument("--seconds", type=float, default=6.0,
                     help="receiver benchmark capture length [s]")
     bm.set_defaults(fn=cmd_benchmark)

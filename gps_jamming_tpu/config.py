@@ -57,9 +57,9 @@ class AcquisitionConfig:
     # 'std' = reference-shaped per-Doppler non-coherent search;
     # 'pcf' = post-correlation-FFT factorized search (~3.5x faster on TPU,
     # finer effective grid); 'auto' (default since r4) picks pcf when its
-    # inverse-row count wins (GPS/GLONASS 1 ms epochs: yes; Galileo E1B
-    # 4 ms: no — caf.pcf_profitable), so the product receiver ships the
-    # same factorized search the flagship bench does
+    # inverse-row count wins (GPS 1 ms epochs: yes; Galileo E1B 4 ms: no
+    # — caf.pcf_profitable). GLONASS is unaffected either way: its FDMA
+    # search (glonass.acquire_all) has no PCF form and ignores this knob
     method: str = "auto"
 
     @property

@@ -130,7 +130,12 @@ def file_onset(path: str, cfg: TdoaConfig,
                chunk_samples: int = 1 << 21) -> int:
     """Bounded-memory interference-onset search over a capture FILE.
 
-    Same contract as ops.power.find_onset (triangulateTDOA.py:37-49):
+    Same DETECTION contract as ops.power.find_onset
+    (triangulateTDOA.py:37-49) — but the streamed moving average
+    accumulates in float64, so on multi-minute captures (where the
+    device path's float32 cumsum loses precision) this path is the MORE
+    accurate of the two; near-threshold crossings can differ by a
+    sample. Contract details:
     noise floor = mean power of the first noise_sample_size samples,
     onset = first index whose window moving average exceeds
     factor * floor, recentered by window//2; -1 when never crossed.

@@ -245,6 +245,8 @@ def iter_records(res: "rx_mod.ReceiverResult", frames, hold: bool,
                         and rx_mod._eph_complete(res.system, o.eph)})
         return t, d
 
+    from ..models.receiver import observables as _obs_mod
+    anchor = None          # (week, tow_offset): TIME = elapsed + offset
     for f in range(start_frame, len(np.asarray(frames.time_s))):
         m = (f + 1) * TELEMETRY_MS
         fix = None
@@ -266,12 +268,23 @@ def iter_records(res: "rx_mod.ReceiverResult", frames, hold: bool,
         obs_rows = frame_observations(res, m, fix)
         # TIME| = real GPS time once any channel has decoded (the
         # reference renders the 1980 epoch before the first decode and
-        # the UTC of the common ToW after, sdrout.c:205-212)
+        # the UTC of the common ToW after, sdrout.c:205-212). The
+        # receive-time anchor is set ONCE from the first decoded frame
+        # (min transmit ToW + the PTIMING nominal transit, the same
+        # t_rx convention the PVT uses) and then advances with elapsed
+        # time — continuous, not jumping with whichever satellite
+        # happens to head the observation list.
         week, tow = 0, float(frames.time_s[f])
-        for o in obs_rows:
-            if o["week"]:
-                week, tow = o["week"], o["tow"]
-                break
+        if anchor is None:
+            wk_rows = [o for o in obs_rows if o["week"]]
+            if wk_rows:
+                t_rx = (min(o["tow"] for o in wk_rows)
+                        + _obs_mod.PTIMING_S)
+                anchor = (wk_rows[0]["week"],
+                          t_rx - float(frames.time_s[f]))
+        if anchor is not None:
+            week = anchor[0]
+            tow = float(frames.time_s[f]) + anchor[1]
         rec = telemetry.make_record(
             elapsed_s=float(frames.time_s[f]),
             time_s=tow if week else float(frames.time_s[f]),

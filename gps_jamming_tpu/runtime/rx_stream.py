@@ -123,13 +123,10 @@ class StreamingReceiver:
         # k runs 0..seg_epochs within a segment, so start_epoch = age
         def _run_packed(st, x, offs_ages, tab, carr, offhz):  # noqa: E306
             offs, ages = offs_ages[0], offs_ages[1]
-            if jnp.issubdtype(x.re.dtype, jnp.integer):
-                # int8 window from process_file: convert on DEVICE — the
-                # host->device transfer is 4x smaller than float32 planes
-                # (320 MB/segment at GLONASS 10 MS/s x 4 s)
-                off, scale = self._ingest_conv
-                x = cplx.CArray((x.re.astype(jnp.float32) + off) * scale,
-                                (x.im.astype(jnp.float32) + off) * scale)
+            # int8 window from process_file: convert on DEVICE — the
+            # host->device transfer is 4x smaller than float32 planes
+            # (320 MB/segment at GLONASS 10 MS/s x 4 s)
+            x = self._ingest(x)
             st2, outs = self._run(
                 st, x, start_epoch=ages, start_offsets=offs,
                 table_arg=tab, carrier_arg=carr, offset_arg=offhz,
@@ -160,12 +157,19 @@ class StreamingReceiver:
         self._obs_cache: dict = {}
 
     # -- acquisition over a segment head ---------------------------------
+    def _ingest(self, x):
+        """Device-side int8 -> float32 conversion for file-streamed
+        windows (off/scale baked at trace time; process_file re-wraps the
+        jits when the convention changes). Float windows pass through."""
+        if jnp.issubdtype(x.re.dtype, jnp.integer):
+            off, scale = self._ingest_conv
+            return cplx.CArray((x.re.astype(jnp.float32) + off) * scale,
+                               (x.im.astype(jnp.float32) + off) * scale)
+        return x
+
     def _acquire_traced(self, xp, seg_start):
         su, cfg = self.su, self.acq_cfg
-        if jnp.issubdtype(xp.re.dtype, jnp.integer):
-            off, scale = self._ingest_conv
-            xp = cplx.CArray((xp.re.astype(jnp.float32) + off) * scale,
-                             (xp.im.astype(jnp.float32) + off) * scale)
+        xp = self._ingest(xp)
         n_code = su["n_code"]
         blocks = cplx.apply(
             lambda a: jax.lax.dynamic_slice(
@@ -190,10 +194,7 @@ class StreamingReceiver:
         return np.asarray(self._jit_acquire(xp, jnp.int32(seg_start)))
 
     def _refine_traced(self, xp, tab, lags, eff, carr, offhz):
-        if jnp.issubdtype(xp.re.dtype, jnp.integer):
-            off, scale = self._ingest_conv
-            xp = cplx.CArray((xp.re.astype(jnp.float32) + off) * scale,
-                             (xp.im.astype(jnp.float32) + off) * scale)
+        xp = self._ingest(xp)
         return acq_mod.refine_doppler(
             xp, tab, lags, eff, self.fs, self.su["chip_rate"],
             carrier_hz=carr, nominal_offset_hz=offhz)
@@ -321,18 +322,22 @@ class StreamingReceiver:
         buf: dict[int, np.ndarray] = {}        # block idx -> (2, S) int8
         next_blk = 0
 
-        def fetch_upto(b):
+        def fetch_upto(b, keep_from):
+            # on resume the reader still walks the file prefix (it is
+            # sequential), but blocks before keep_from are DROPPED —
+            # buffering them would hold the whole prefix in host memory
             nonlocal next_blk
             while next_blk <= b:
                 try:
                     _, blk = next(it)
                 except StopIteration:
                     break
-                buf[next_blk] = blk
+                if next_blk >= keep_from:
+                    buf[next_blk] = blk
                 next_blk += 1
 
         def get_window(seg):
-            fetch_upto(seg + 1)
+            fetch_upto(seg + 1, seg)
             head = buf.get(seg)
             tail = buf.get(seg + 1)
             # int8 planes: the jitted consumers convert on device (the
@@ -344,7 +349,8 @@ class StreamingReceiver:
             if tail is not None and W > S:
                 m = min(tail.shape[1], W - S)
                 w[:, S:S + m] = tail[:, :m]
-            buf.pop(seg - 1, None)             # keep only seg, seg+1
+            for k in [k for k in buf if k < seg]:
+                buf.pop(k)                     # keep only seg, seg+1
             return seg * S, cplx.CArray(jnp.asarray(w[0]),
                                         jnp.asarray(w[1]))
 
@@ -377,6 +383,8 @@ class StreamingReceiver:
         intervals: list[SlotInterval] = []
         open_iv: dict[int, SlotInterval] = {}
         acq_seen: dict[int, ChannelResult] = {}
+        self._obs_cache.clear()               # cache is per-run: a reused
+        # receiver on another capture must not serve stale observables
         total_epochs = n_seg * self.seg_epochs
         # full-timeline telemetry sources (ReceiverResult.cn0_epochs /
         # tracked_spans): C/N0 accumulates over every ACTIVE slot each
@@ -390,6 +398,15 @@ class StreamingReceiver:
         start_seg = 0
         if ckpt is not None and ckpt.get("state"):
             s0 = ckpt["state"]
+            meta = s0.get("meta", {})
+            want = {"fs": self.fs, "system": self.system,
+                    "seg_epochs": self.seg_epochs,
+                    "n_slots": self.n_slots,
+                    "pvt_filter": self.pvt_filter}
+            if meta != want:
+                raise ValueError(
+                    f"checkpoint incompatible with this receiver: "
+                    f"saved {meta}, expected {want}")
             start_seg = s0["next_seg"]
             slot_sat[:] = s0["slot_sat"]
             slot_next[:] = s0["slot_next"]
@@ -417,6 +434,10 @@ class StreamingReceiver:
             import pickle
             import tempfile
             state = {
+                "meta": {"fs": self.fs, "system": self.system,
+                         "seg_epochs": self.seg_epochs,
+                         "n_slots": self.n_slots,
+                         "pvt_filter": self.pvt_filter},
                 "next_seg": next_seg,
                 "slot_sat": slot_sat.copy(),
                 "slot_next": slot_next.copy(),

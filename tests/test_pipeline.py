@@ -254,7 +254,12 @@ def test_live_sink_streams_records_during_analysis(capture_set):
     assert len(pushed) >= 5
     times = [r["elapsed_time"] for r in pushed]
     assert times == sorted(times) and len(set(times)) == len(times)
-    # live records carry the jamming flag; the rest matches the final log
+    # live records carry the jamming flag; the rest matches the final
+    # log EXACTLY on this fixture (no nav decode happens on a pure
+    # jammer capture). On decode-bearing captures live records
+    # legitimately reflect knowledge-at-emission-time (week/TIME/
+    # decoded appear later than in the post-hoc rebuild) — exactly how
+    # the reference's live POSTs relate to a post-hoc replay.
     final = res.telemetry.records
     assert len(final) >= len(pushed)
     for live, post in zip(pushed, final):

@@ -139,3 +139,23 @@ def test_process_file_matches_one_shot(tmp_path):
         np.testing.assert_array_equal(f2.pos_ecef, f4.pos_ecef)
     np.testing.assert_array_equal(res4.cn0_epochs, res2.cn0_epochs)
     assert res4.tracked_spans == res2.tracked_spans
+
+
+def test_checkpoint_rejects_mismatched_receiver(tmp_path):
+    """A checkpoint from a different receiver configuration must raise,
+    not silently corrupt tracking state."""
+    import pickle
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "noise.bin")
+    rng.integers(0, 256, int(2 * 1.0 * FS), dtype=np.uint8).tofile(path)
+
+    ck = str(tmp_path / "rx.ckpt")
+    with open(ck, "wb") as f:
+        pickle.dump({"meta": {"fs": FS, "system": "gps",
+                              "seg_epochs": 2000,       # 2 s segments
+                              "n_slots": 12, "pvt_filter": "wls"},
+                     "next_seg": 1}, f)
+    rx = rx_stream.StreamingReceiver(FS, system="gps", segment_s=0.25)
+    with pytest.raises(ValueError, match="checkpoint incompatible"):
+        rx.process_file(path, checkpoint_path=ck, resume=True)
