@@ -187,19 +187,20 @@ def cmd_simulate(args) -> int:
 
 
 def cmd_spectrum(args) -> int:
-    import jax.numpy as jnp
+    import os
 
     from .config import DEFAULT_CONFIG as CFG
-    from .ops import iq, spectral
-    fs_in = args.sample_rate or CFG.frontend.sample_rate_hz
-    x = iq.read_iq_file(args.file, convention="normalized",
-                        count=(int(args.max_seconds * fs_in) * 2
-                               if args.max_seconds else -1))
-    fs = fs_in
-    # 1 s chunks (widmo_plot.py:9-10), clamped for short captures
-    chunk = min(int(fs), x.size)
-    sg = np.asarray(spectral.spectrogram(jnp.asarray(x), fs, chunk,
-                                         CFG.spectral.nperseg))
+    from .ops import spectral
+    fs = args.sample_rate or CFG.frontend.sample_rate_hz
+    n_total = os.path.getsize(args.file) // 2
+    cap = (int(args.max_seconds * fs) if args.max_seconds else None)
+    # 1 s chunks (widmo_plot.py:9-10), clamped for short captures;
+    # streamed in bounded batches (spectrogram_file) so arbitrarily long
+    # captures never load fully
+    chunk = min(int(fs), cap or n_total, n_total)
+    sg = spectral.spectrogram_file(args.file, fs, chunk,
+                                   CFG.spectral.nperseg,
+                                   max_samples=cap)
     freqs = spectral.freq_axis_mhz(fs, CFG.spectral.nperseg)
     mean_db = np.asarray(spectral.mean_spectrum_db(sg))
     if args.out:

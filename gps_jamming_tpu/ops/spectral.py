@@ -117,3 +117,42 @@ def freq_axis_mhz(sample_rate: float, nperseg: int) -> np.ndarray:
 def mean_spectrum_db(spectrogram_db: jax.Array) -> jax.Array:
     """Mean over time of the dB spectrogram (widmo_plot.py:75)."""
     return jnp.mean(spectrogram_db, axis=-2)
+
+
+def spectrogram_file(path: str, sample_rate: float, chunk_samples: int,
+                     nperseg: int = 1024, overlap_frac: float = 0.5,
+                     max_samples: int | None = None,
+                     batch_chunks: int = 16) -> "np.ndarray":
+    """Bounded-memory waterfall from a capture FILE.
+
+    Streams `batch_chunks` spectrogram chunks at a time (host/device
+    memory = one batch, independent of capture length) and produces the
+    SAME rows as `spectrogram` on the fully-loaded capture: chunking,
+    per-chunk DC removal and Welch segmentation all happen at chunk
+    granularity, so batch boundaries cannot change any value."""
+    import os
+
+    from . import iq as iq_ops
+
+    n_total = os.path.getsize(path) // 2
+    if max_samples is not None:
+        n_total = min(n_total, int(max_samples))
+    n_chunks = n_total // chunk_samples
+    rows = []
+    g0 = 0
+    jfn = jax.jit(lambda xr, xi: spectrogram_p(
+        cplx.CArray(xr, xi), sample_rate, chunk_samples, nperseg,
+        overlap_frac))
+    while g0 < n_chunks * chunk_samples:
+        m = min(batch_chunks * chunk_samples,
+                n_chunks * chunk_samples - g0)
+        x = iq_ops.read_iq_file(path, convention="normalized",
+                                count=2 * m, offset_bytes=2 * g0)
+        if x.size == 0:
+            break
+        xp = cplx.from_complex(jnp.asarray(x.astype(np.complex64)))
+        rows.append(np.asarray(jfn(xp.re, xp.im)))
+        g0 += x.size
+    if not rows:
+        return np.zeros((0, nperseg), np.float32)
+    return np.concatenate(rows, axis=0)

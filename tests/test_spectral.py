@@ -43,3 +43,26 @@ def test_spectrogram_shape_and_tone_peak(rng):
     freqs = spectral.freq_axis_mhz(fs, 1024)
     peak_mhz = freqs[np.argmax(sg[0])]
     assert abs(peak_mhz - tone / 1e6) < 0.01
+
+
+def test_spectrogram_file_matches_in_memory(tmp_path):
+    """The streamed file waterfall equals the in-memory spectrogram
+    row for row (chunk granularity makes batch boundaries invisible)."""
+    import jax.numpy as jnp
+
+    from gps_jamming_tpu.ops import iq as iq_ops
+    from gps_jamming_tpu.ops import spectral
+
+    rng = np.random.default_rng(3)
+    fs = 65536.0
+    n = int(5.5 * fs)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 20.0
+    path = str(tmp_path / "cap.bin")
+    iq_ops.write_iq_file(path, x.astype(np.complex64))
+
+    xn = iq_ops.read_iq_file(path, convention="normalized")
+    chunk = int(fs)
+    want = np.asarray(spectral.spectrogram(jnp.asarray(xn), fs, chunk, 256))
+    got = spectral.spectrogram_file(path, fs, chunk, 256, batch_chunks=2)
+    assert got.shape == want.shape == (5, 256)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
