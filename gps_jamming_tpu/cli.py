@@ -377,15 +377,19 @@ def cmd_report(args) -> int:
     viz.save_sample_histogram_png(
         raw_u8, os.path.join(args.out, "histogram.png"))
 
-    x = (iq.read_iq_file(args.files[0], convention="centered"))
-    chunk = min(int(fs), int(x.shape[-1]))
-    sg = np.asarray(spectral.spectrogram(x, fs, chunk,
-                                         CFG.spectral.nperseg))
+    # bounded-memory report: waterfall + power profile stream from the
+    # file (same values as the in-memory kernels, tested equal)
+    n_total = os.path.getsize(args.files[0]) // 2
+    cap = (int(args.max_seconds * fs) if args.max_seconds else None)
+    chunk = min(int(fs), cap or n_total, n_total)
+    sg = spectral.spectrogram_file(args.files[0], fs, chunk,
+                                   CFG.spectral.nperseg, max_samples=cap)
     viz.save_waterfall_png(sg, spectral.freq_axis_mhz(
         fs, CFG.spectral.nperseg), chunk / fs,
         os.path.join(args.out, "waterfall.png"))
 
-    prof = np.asarray(detector.power_profile(x, CFG.detector).power_map)
+    prof = np.asarray(detector.power_profile_file(
+        args.files[0], CFG.detector, max_samples=cap).power_map)
     chunk_s = CFG.detector.power_chunk_samples / fs
     ev_chunks = [(s // (2 * CFG.detector.power_chunk_samples),
                   e // (2 * CFG.detector.power_chunk_samples))
