@@ -1095,27 +1095,32 @@ def _pcf_single_launch(y, chunks, rep_re, rep_im, k_idx, sample_rate,
     def spec(shape, index_map):
         return pl.BlockSpec(shape, index_map)
 
+    # grid order (chunk, row, group): the replica chunk (the LARGE
+    # operand, n2 x cm x 2 planes ~ 2 MB) stays VMEM-resident across all
+    # R rows before the next chunk loads — (row, chunk, ...) order would
+    # re-stream every chunk R times from HBM. The group (block) axis
+    # stays innermost for the in-register accumulation (block_axis=2).
     in_specs = [
-        spec((1, n1, n2), lambda r, c, b: (r * G + b, 0, 0)),   # x re
-        spec((1, n1, n2), lambda r, c, b: (r * G + b, 0, 0)),   # x im
-        spec((1, n1, n2), lambda r, c, b: (0, 0, 0)),           # osc (zero f)
-        spec((1, n1, n2), lambda r, c, b: (0, 0, 0)),
-        spec((n2, cm), lambda r, c, b: (c, 0)),                 # rep' chunk
-        spec((n2, cm), lambda r, c, b: (c, 0)),
-        spec((n1, n1), lambda r, c, b: (0, 0)),                 # L1 (ft=1)
-        spec((n1, n1), lambda r, c, b: (0, 0)),
-        spec((n1, n2), lambda r, c, b: (0, 0)),                 # fwd twiddle
-        spec((n1, n2), lambda r, c, b: (0, 0)),
-        spec((n2, n2), lambda r, c, b: (0, 0)),                 # d2 fwd
-        spec((n2, n2), lambda r, c, b: (0, 0)),
-        spec((n2, n2), lambda r, c, b: (0, 0)),                 # d2 inv^T
-        spec((n2, n2), lambda r, c, b: (0, 0)),
-        spec((n2, cm), lambda r, c, b: (0, 0)),                 # inv twiddle
-        spec((n2, cm), lambda r, c, b: (0, 0)),
-        spec((_LANE, _LANE), lambda r, c, b: (0, 0)),           # kron
-        spec((_LANE, _LANE), lambda r, c, b: (0, 0)),
+        spec((1, n1, n2), lambda c, r, b: (r * G + b, 0, 0)),   # x re
+        spec((1, n1, n2), lambda c, r, b: (r * G + b, 0, 0)),   # x im
+        spec((1, n1, n2), lambda c, r, b: (0, 0, 0)),           # osc (zero f)
+        spec((1, n1, n2), lambda c, r, b: (0, 0, 0)),
+        spec((n2, cm), lambda c, r, b: (c, 0)),                 # rep' chunk
+        spec((n2, cm), lambda c, r, b: (c, 0)),
+        spec((n1, n1), lambda c, r, b: (0, 0)),                 # L1 (ft=1)
+        spec((n1, n1), lambda c, r, b: (0, 0)),
+        spec((n1, n2), lambda c, r, b: (0, 0)),                 # fwd twiddle
+        spec((n1, n2), lambda c, r, b: (0, 0)),
+        spec((n2, n2), lambda c, r, b: (0, 0)),                 # d2 fwd
+        spec((n2, n2), lambda c, r, b: (0, 0)),
+        spec((n2, n2), lambda c, r, b: (0, 0)),                 # d2 inv^T
+        spec((n2, n2), lambda c, r, b: (0, 0)),
+        spec((n2, cm), lambda c, r, b: (0, 0)),                 # inv twiddle
+        spec((n2, cm), lambda c, r, b: (0, 0)),
+        spec((_LANE, _LANE), lambda c, r, b: (0, 0)),           # kron
+        spec((_LANE, _LANE), lambda c, r, b: (0, 0)),
     ]
-    out_spec = spec((1, n2, cm), lambda r, c, b: (r * C + c, 0, 0))
+    out_spec = spec((1, n2, cm), lambda c, r, b: (r * C + c, 0, 0))
 
     kwargs = {}
     if not interpret:
@@ -1123,7 +1128,7 @@ def _pcf_single_launch(y, chunks, rep_re, rep_im, k_idx, sample_rate,
             vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
         kern,
-        grid=(R, C, G),
+        grid=(C, R, G),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((R * C, n2, cm), jnp.float32),
