@@ -159,3 +159,43 @@ def test_checkpoint_rejects_mismatched_receiver(tmp_path):
     rx = rx_stream.StreamingReceiver(FS, system="gps", segment_s=0.25)
     with pytest.raises(ValueError, match="checkpoint incompatible"):
         rx.process_file(path, checkpoint_path=ck, resume=True)
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_across_jam_resets(tmp_path):
+    """Resume from a checkpoint taken BEFORE a jam reproduces the
+    uninterrupted run bitwise through the resets + re-acquisition that
+    follow — the slot/holdoff/interval state restore under stress (no
+    nav decode needed; the telemetry sources are the contract)."""
+    tow0 = TOE - 1.3
+    n = int(10.0 * FS)
+    iq_sig, truths, _ = constellation.simulate_constellation(
+        _shell(), RX_LLA, tow0, n, FS, noise_std=0.4, seed=6)
+    jam = np.asarray(jammers.broadband(
+        int(3.0 * FS), jax.random.PRNGKey(3), amplitude=400.0))
+    x = iq_sig.copy()
+    x[int(4.0 * FS):int(7.0 * FS)] += jam
+    from gps_jamming_tpu.ops import iq as iq_ops
+    path = str(tmp_path / "jam10.bin")
+    iq_ops.write_iq_file(path, (x * 12.0).astype(np.complex64))
+
+    rx_a = rx_stream.StreamingReceiver(FS, system="gps", segment_s=2.0)
+    res_a = rx_a.process_file(path, convention="centered")
+
+    ck = str(tmp_path / "rx.ckpt")
+    rx_b = rx_stream.StreamingReceiver(FS, system="gps", segment_s=2.0)
+    rx_b.process_file(path, convention="centered", max_segments=3,
+                      checkpoint_path=ck, checkpoint_every_s=4.0)
+    rx_c = rx_stream.StreamingReceiver(FS, system="gps", segment_s=2.0)
+    res_c = rx_c.process_file(path, convention="centered",
+                              checkpoint_path=ck, resume=True)
+
+    np.testing.assert_array_equal(res_c.cn0_epochs, res_a.cn0_epochs)
+    assert res_c.tracked_spans == res_a.tracked_spans
+    assert sorted(c.prn for c in res_c.channels) == \
+        sorted(c.prn for c in res_a.channels)
+    # the jam actually caused resets (spans that end before EOF) —
+    # the state restore below segment 3 is only stressed if they did
+    assert any(end * res_a.epoch_ms * 1e-3 < 9.0
+               for _, _, end in res_a.tracked_spans), \
+        "jam produced no resets; stress premise broken"
