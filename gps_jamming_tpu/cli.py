@@ -59,7 +59,8 @@ def cmd_detect(args) -> int:
         run_receiver=not args.no_receiver, localize=not args.no_localize,
         max_seconds=args.max_seconds, system=args.system, hold=args.hold,
         sample_rate=args.sample_rate, pvt_filter=args.filter,
-        streaming=not args.batch_receiver)
+        streaming=not args.batch_receiver, wire_bits=args.wire_bits,
+        checkpoint_path=args.checkpoint, resume=args.resume)
     out = {
         "power_ranges_bytes": res.power_ranges,
         "events": res.events,
@@ -252,7 +253,8 @@ def cmd_receiver(args) -> int:
         res = srx.process_file(args.file, convention="centered",
                                max_samples=cap,
                                checkpoint_path=args.checkpoint,
-                               resume=args.resume)
+                               resume=args.resume,
+                               wire_bits=args.wire_bits)
     else:
         x = iq.read_iq_file(args.file, convention="centered",
                             count=(int(args.max_seconds
@@ -535,6 +537,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the acquire-once whole-capture receiver "
                         "instead of the default self-healing streaming "
                         "receiver (short clean captures only)")
+    d.add_argument("--wire-bits", type=int, default=8, choices=[8, 4],
+                   help="receiver upload width: 4 packs two 4-bit "
+                        "samples per byte (half the host->device bytes, "
+                        "~0.14 dB C/N0 cost) for upload-bound links")
+    d.add_argument("--checkpoint",
+                   help="persist the whole detect state here (power "
+                        "profile + receiver segments + emission cursor); "
+                        "resume reproduces the uninterrupted run's "
+                        "events + telemetry")
+    d.add_argument("--resume", action="store_true",
+                   help="restore --checkpoint state and continue")
     d.set_defaults(fn=cmd_detect)
 
     loc = sub.add_parser("localize", help="RSSI + TDOA localization")
@@ -670,6 +683,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--resume", action="store_true",
                    help="restore --checkpoint state and continue; the "
                         "result equals the uninterrupted run exactly")
+    r.add_argument("--wire-bits", type=int, default=8, choices=[8, 4],
+                   help="with --streaming: upload width (4 = packed "
+                        "nibbles, half the bytes, ~0.14 dB C/N0 cost)")
     r.add_argument("--filter", default="wls", choices=["wls", "ekf"],
                    help="PVT filter: wls (blsFilter parity) or ekf — "
                         "the 8-state coasting EKF the reference reserves "

@@ -310,7 +310,11 @@ def analyze_capture(paths: Sequence[str],
                     streaming: bool = True,
                     segment_s: float = 4.0,
                     sink=None,
-                    emit_every_s: float = 8.0) -> AnalysisResult:
+                    emit_every_s: float = 8.0,
+                    wire_bits: int = 8,
+                    checkpoint_path: str | None = None,
+                    checkpoint_every_s: float = 60.0,
+                    resume: bool = False) -> AnalysisResult:
     """Analyze 1-3 antenna captures end to end (start_analysis flow,
     ui_mainwindow.py:653 -> worker.py:477-547).
 
@@ -341,10 +345,49 @@ def analyze_capture(paths: Sequence[str],
     record as produced, sdrout.c:10-57; the serve dashboard shows
     position/flags advancing mid-analysis). The returned AnalysisResult
     still carries the authoritative full record log.
+    wire_bits: 8 or 4 — upload width of the streamed receiver windows
+    (see StreamingReceiver.process_file).
+    checkpoint_path (streaming only): persist the WHOLE product path —
+    power-scan profile + F1 ranges, the receiver's segment state
+    (chained at <path>.rx), and the live-emission cursor — so a killed
+    `detect` resumes mid-capture and produces the SAME final events +
+    telemetry as the uninterrupted run (events/telemetry are a pure
+    function of receiver result + power profile, both checkpointed).
+    Live sink emission on resume is at-least-once: the cursor is saved
+    at emission time, so a handful of records straddling the kill may be
+    re-pushed.
     """
     import os
+    import pickle
+    import tempfile
 
     t_start = time.time()
+    ck_state: dict | None = None
+    if checkpoint_path is not None and streaming:
+        if resume and os.path.exists(checkpoint_path):
+            with open(checkpoint_path, "rb") as f:
+                ck_state = pickle.load(f)
+        if ck_state is None:
+            ck_state = {"profile": None, "ranges": None, "emitted": 0,
+                        "meta": {"paths": list(paths), "system": system,
+                                 "max_seconds": max_seconds}}
+        elif ck_state["meta"] != {"paths": list(paths), "system": system,
+                                  "max_seconds": max_seconds}:
+            raise ValueError(
+                f"detect checkpoint was written for "
+                f"{ck_state['meta']}, not this invocation")
+
+    def save_detect_ckpt():
+        d = os.path.dirname(os.path.abspath(checkpoint_path)) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                pickle.dump(ck_state, f)
+            os.replace(tmp, checkpoint_path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
     if sample_rate is not None:
         fs = float(sample_rate)
     elif system == "glonass":
@@ -359,16 +402,25 @@ def analyze_capture(paths: Sequence[str],
         n_samples = min(n_samples, int(max_seconds * fs))
 
     # 1. power pre-scan (F1 map)
-    if streaming:
-        prof = detector.power_profile_file(paths[0], cfg.detector,
-                                           max_samples=n_samples)
+    if ck_state is not None and ck_state["profile"] is not None:
+        prof = ck_state["profile"]         # resume: skip the file re-scan
+        ranges = ck_state["ranges"]
     else:
-        raw = np.fromfile(paths[0], dtype=np.uint8,
-                          count=2 * n_samples)
-        x = iq_ops.int8_to_planar(
-            jnp.asarray(iq_ops.uint8_np_to_int8(raw)))
-        prof = detector.power_profile(x, cfg.detector)
-    ranges = detector.power_profile_ranges(prof, cfg.detector)
+        if streaming:
+            prof = detector.power_profile_file(paths[0], cfg.detector,
+                                               max_samples=n_samples)
+        else:
+            raw = np.fromfile(paths[0], dtype=np.uint8,
+                              count=2 * n_samples)
+            x = iq_ops.int8_to_planar(
+                jnp.asarray(iq_ops.uint8_np_to_int8(raw)))
+            prof = detector.power_profile(x, cfg.detector)
+        ranges = detector.power_profile_ranges(prof, cfg.detector)
+        if ck_state is not None:
+            import jax as _jax
+            ck_state["profile"] = _jax.tree_util.tree_map(np.asarray, prof)
+            ck_state["ranges"] = ranges
+            save_detect_ckpt()
     ranges_pad, n_ranges = detector.ranges_to_padded(ranges)
 
     # 2. receiver chain
@@ -384,7 +436,7 @@ def analyze_capture(paths: Sequence[str],
             segment_cb = None
             if sink is not None:
                 live_hold = telemetry.HoldPositionFilter()
-                emitted = [0]                  # frames pushed so far
+                emitted = [ck_state["emitted"] if ck_state else 0]
                 emit_frames = max(int(emit_every_s * 1000 / TELEMETRY_MS),
                                   1)
 
@@ -413,10 +465,19 @@ def analyze_capture(paths: Sequence[str],
                             if f < pjam.size else False
                         sink(rec)
                     emitted[0] = stop
+                    if ck_state is not None:
+                        ck_state["emitted"] = stop
+                        save_detect_ckpt()
 
             res = srx.process_file(paths[0], convention="centered",
                                    max_samples=cap,
-                                   segment_cb=segment_cb)
+                                   segment_cb=segment_cb,
+                                   wire_bits=wire_bits,
+                                   checkpoint_path=(
+                                       checkpoint_path + ".rx"
+                                       if ck_state is not None else None),
+                                   checkpoint_every_s=checkpoint_every_s,
+                                   resume=resume)
         else:
             res = rx_mod.run_receiver(x, fs, system=system,
                                       pvt_filter=pvt_filter)

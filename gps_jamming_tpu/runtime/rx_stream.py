@@ -12,8 +12,10 @@ of channel SLOTS:
   - per segment, one tracking scan advances every slot (one compiled
     executable for all segments: the code table / carrier / FDMA offset /
     window offsets / per-slot ages are traced arguments),
-  - slots whose median C/N0 over the segment falls below the reset
-    threshold are freed (the SNR health check),
+  - slots failing any of the four reference health checks are freed:
+    low C/N0, nav-not-decoded after 60 s / stale week / low elevation
+    (sdrmain.c:263-340), and stale observables > 90 s (checkObsDelay,
+    sdrmain.c:464-511),
   - free slots are filled by re-running batched acquisition on the
     segment head for constellation IDs not currently tracked,
   - per-slot output streams are split at assignment boundaries, decoded
@@ -23,11 +25,20 @@ of channel SLOTS:
 Tracking loop staging (FLL pull-in -> PLL locked) is per-slot: a slot
 (re)acquired mid-capture starts its own pull-in, exactly like a
 reference channel thread after resetStructs.
+
+Pipelining (the datathread/channel-thread overlap of sdrmain.c:402-415,
+re-expressed): window assembly + host->device upload for segment k+1 run
+in an IO worker thread while segment k's scan executes on device, and
+interval decoding (bit sync -> nav frames) runs in a decode worker that
+doubles as the nav-health prober — the serial end-of-run decode the
+batch path pays is warmed incrementally instead.
 """
 from __future__ import annotations
 
 import dataclasses
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -75,26 +86,52 @@ def _system_tables(system: str, sel_ids):
     return tab.astype(np.float32), carr, offs
 
 
+# Reference channel plans: 32 GPS / 36 Galileo / 14 GLONASS concurrent
+# channels (sdrinit.c:41-107); SBAS = the 19 C/A PRNs 120..138. The
+# batched scan's per-epoch work is one (slots, taps, n) einsum, so the
+# full plans cost near-nothing over a reduced pool (slot-scaling row in
+# BASELINE.md) — unlike the reference's thread-per-channel model.
+CHANNEL_PLAN = {"gps": 32, "galileo": 36, "glonass": 14, "sbas": 19}
+
+
 class StreamingReceiver:
     def __init__(self, sample_rate: float, system: str = "gps",
-                 n_slots: int = 12, segment_s: float = 4.0,
+                 n_slots: int | None = None, segment_s: float = 4.0,
                  acq_cfg: AcquisitionConfig | None = None,
                  trk_cfg: TrackingConfig | None = None,
                  reset_cn0_dbhz: float = 15.0,
                  min_cn0_dbhz: float = 25.0,
                  grace_segments: int = 1,
                  pvt_filter: str = "wls",
-                 acq_holdoff_s: float | None = None):
+                 acq_holdoff_s: float | None = None,
+                 reset_nodecode_s: float = 60.0,
+                 reset_obs_stale_s: float = 90.0,
+                 reset_week_min: int = 2360,
+                 reset_elevation_deg: float = 12.0,
+                 health_probe_every_s: float = 16.0):
         self.fs = sample_rate
         self.system = system
         self.pvt_filter = pvt_filter
         self.acq_cfg = acq_cfg or AcquisitionConfig()
         self.trk_cfg = trk_cfg or TrackingConfig()
         self.su = _system_setup(system, sample_rate, self.acq_cfg)
+        if n_slots is None:
+            n_slots = min(CHANNEL_PLAN.get(system, 12),
+                          len(self.su["ids"]))
         self.n_slots = n_slots
         self.reset_cn0 = reset_cn0_dbhz
         self.min_cn0 = min_cn0_dbhz
         self.grace = grace_segments
+        # the three nav-level health-reset causes beyond the C/N0 check
+        # (sdrmain.c:263-340 nodecode/week/elevation, :464-511 stale obs);
+        # evaluated by the periodic decode probe (_probe rounds)
+        self.reset_nodecode_s = reset_nodecode_s
+        self.reset_obs_stale_s = reset_obs_stale_s
+        self.reset_week_min = reset_week_min
+        self.reset_elevation_deg = reset_elevation_deg
+        seg_s_eff = segment_s
+        self.probe_every = max(
+            int(round(health_probe_every_s / seg_s_eff)), 1)
         # segments to skip after an acquisition attempt that assigned no
         # slot (the reference sleeps 10 s after resetStructs before the
         # channel searches again, sdrmain.c:417-462; an empty search costs
@@ -146,7 +183,13 @@ class StreamingReceiver:
         # runs as ONE jitted dispatch each (eager acquire_all was ~1 s of
         # per-op round trips per segment on axon).
         self._dev_tabs: tuple | None = None
-        self._ingest_conv = (0.5, 1.0)       # process_file int8 contract
+        # wire format of file-streamed windows: ("i8", off, scale) = one
+        # int8 byte per I/Q component (process_file default), or
+        # ("i4", scale) = two 4-bit samples packed per byte — HALF the
+        # host->device bytes for tunneled/host-limited links at a ~0.14 dB
+        # C/N0 cost (16-level quantization of a +/-2.5 sigma range; the
+        # classic multi-bit GNSS quantization loss bound)
+        self._ingest_conv = ("i8", 0.5, 1.0)
         self._jit_acquire = jax.jit(self._acquire_packed)
         self._jit_refine = jax.jit(self._refine_traced)
         # decoded-observables cache: (sat, start_epoch, n_epochs) -> obs.
@@ -154,18 +197,46 @@ class StreamingReceiver:
         # intervals hit this cache exactly, and open intervals decode a
         # BUCKETED prefix (snapshot path) so their key only changes every
         # few segments — keeps live emission ~O(n) instead of O(n^2).
+        # Shared with the decode worker thread (probe rounds + closed-
+        # interval warming) under _obs_lock.
         self._obs_cache: dict = {}
+        self._obs_inflight: dict = {}
+        self._obs_lock = threading.Lock()
+        # pipeline workers (live with the receiver): window assembly +
+        # upload one segment ahead, and interval decode / nav-health
+        # probing off the critical path
+        self._io_pool = ThreadPoolExecutor(max_workers=1,
+                                           thread_name_prefix="rx-io")
+        self._dec_pool = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="rx-dec")
 
     # -- acquisition over a segment head ---------------------------------
     def _ingest(self, x):
-        """Device-side int8 -> float32 conversion for file-streamed
-        windows (off/scale baked at trace time; process_file re-wraps the
-        jits when the convention changes). Float windows pass through."""
-        if jnp.issubdtype(x.re.dtype, jnp.integer):
-            off, scale = self._ingest_conv
-            return cplx.CArray((x.re.astype(jnp.float32) + off) * scale,
-                               (x.im.astype(jnp.float32) + off) * scale)
-        return x
+        """Device-side wire -> float32 conversion for file-streamed
+        windows (wire mode baked at trace time; process_file re-wraps the
+        jits when the convention changes). Float windows pass through.
+
+        "i8": one int8 byte per component, x_f = (v + off) * scale.
+        "i4": two 4-bit samples per byte (even sample in the low nibble),
+        unpacked with arithmetic shifts and rescaled — the upload is half
+        the bytes; everything downstream (dynamic_slice offsets in
+        SAMPLES) is unchanged because the unpack happens first.
+        """
+        if not jnp.issubdtype(x.re.dtype, jnp.integer):
+            return x
+        if self._ingest_conv[0] == "i4":
+            scale = self._ingest_conv[1]
+
+            def unpack(b):
+                lo = jnp.right_shift(jnp.left_shift(b, 4), 4)
+                hi = jnp.right_shift(b, 4)
+                v = jnp.stack([lo, hi], axis=-1).reshape(2 * b.shape[-1])
+                return v.astype(jnp.float32) * scale
+
+            return cplx.CArray(unpack(x.re), unpack(x.im))
+        _, off, scale = self._ingest_conv
+        return cplx.CArray((x.re.astype(jnp.float32) + off) * scale,
+                           (x.im.astype(jnp.float32) + off) * scale)
 
     def _acquire_traced(self, xp, seg_start):
         su, cfg = self.su, self.acq_cfg
@@ -252,7 +323,8 @@ class StreamingReceiver:
                      segment_cb=None,
                      checkpoint_path: str | None = None,
                      checkpoint_every_s: float = 60.0,
-                     resume: bool = False) -> ReceiverResult:
+                     resume: bool = False,
+                     wire_bits: int = 8) -> ReceiverResult:
         """Streaming path: bounded HBM for arbitrarily long captures.
 
         Feeds the receiver from `native.reader.CaptureReader` (the C++
@@ -274,6 +346,15 @@ class StreamingReceiver:
         assigns to long captures; the reference has none — rerun is its
         only recovery). The reader re-skips the file prefix on resume
         (sequential IO only).
+
+        wire_bits: 8 (default) uploads int8 component planes; 4 packs
+        two 4-bit samples per byte before upload — half the host->device
+        bytes, for links where the upload is the wall-clock bottleneck
+        (a tunneled runtime at ~30 MB/s cannot sustain GLONASS's 20 MB/s
+        raw rate at 2x realtime in 8-bit). Quantization maps +/-2.5
+        sigma of the first block onto the 16 levels (~0.14 dB C/N0
+        cost); the power pre-scan / localization paths read the file
+        directly and are unaffected.
         """
         import pickle
 
@@ -308,7 +389,22 @@ class StreamingReceiver:
             off, scale = 0.5, 1.0 / 127.5
         else:
             raise ValueError(f"unknown convention {convention!r}")
-        conv = (np.float32(off), np.float32(scale))
+        pack_lut = None
+        if wire_bits == 4:
+            # quantization step from the first reader block: +/-2.5 sigma
+            # of the CENTERED signal onto [-7, 7]; one byte -> nibble LUT
+            # packs each component plane with a single gather
+            head_u8 = np.fromfile(path, dtype=np.uint8,
+                                  count=min(2 * S, n_bytes))
+            sigma = float(np.std(head_u8.astype(np.float32) - 127.5))
+            step = max(2.5 * sigma / 7.0, 0.25)
+            vals = np.arange(256).astype(np.int8).astype(np.float32) + off
+            pack_lut = np.clip(np.round(vals / step), -8, 7).astype(np.int8)
+            conv = ("i4", np.float32(step * scale))
+        elif wire_bits == 8:
+            conv = ("i8", np.float32(off), np.float32(scale))
+        else:
+            raise ValueError(f"wire_bits must be 4 or 8, got {wire_bits}")
         if conv != self._ingest_conv:
             # the conversion constants are baked into the traced fns —
             # re-wrap the jits when a reused receiver switches convention
@@ -351,6 +447,9 @@ class StreamingReceiver:
                 w[:, S:S + m] = tail[:, :m]
             for k in [k for k in buf if k < seg]:
                 buf.pop(k)                     # keep only seg, seg+1
+            if pack_lut is not None:
+                q = pack_lut[w.view(np.uint8)]
+                w = ((q[:, 0::2] & 15) | (q[:, 1::2] << 4)).astype(np.int8)
             return seg * S, cplx.CArray(jnp.asarray(w[0]),
                                         jnp.asarray(w[1]))
 
@@ -372,6 +471,9 @@ class StreamingReceiver:
         slot_next = np.zeros(self.n_slots, np.int64)       # next win start
         slot_birth = np.zeros(self.n_slots, np.int64)      # global epoch
         slot_bad = np.zeros(self.n_slots, np.int64)        # bad segments
+        # nav-health probe bookkeeping: last global epoch covered by a
+        # successful decode probe of the slot's open interval (-1 = never)
+        slot_obs_end = np.full(self.n_slots, -1, np.int64)
         st = tracking.init_state(
             self.n_slots, np.zeros(self.n_slots, np.float32),
             np.zeros(self.n_slots, np.float32), self.fs,
@@ -383,8 +485,12 @@ class StreamingReceiver:
         intervals: list[SlotInterval] = []
         open_iv: dict[int, SlotInterval] = {}
         acq_seen: dict[int, ChannelResult] = {}
-        self._obs_cache.clear()               # cache is per-run: a reused
-        # receiver on another capture must not serve stale observables
+        # cache is per-run: a reused receiver on another capture must not
+        # serve stale observables — drain the decode worker (so no stale
+        # in-flight build repopulates the cache), then clear
+        self._dec_pool.submit(lambda: None).result()
+        self._obs_cache.clear()
+        self._obs_inflight.clear()
         total_epochs = n_seg * self.seg_epochs
         # full-timeline telemetry sources (ReceiverResult.cn0_epochs /
         # tracked_spans): C/N0 accumulates over every ACTIVE slot each
@@ -394,6 +500,7 @@ class StreamingReceiver:
         cn0_sum = np.zeros(total_epochs, np.float64)
         cn0_cnt = np.zeros(total_epochs, np.int64)
         acq_next_seg = 0                       # acquisition holdoff gate
+        self._probe_fix = None         # last probe-round WLS position
 
         start_seg = 0
         if ckpt is not None and ckpt.get("state"):
@@ -402,7 +509,9 @@ class StreamingReceiver:
             want = {"fs": self.fs, "system": self.system,
                     "seg_epochs": self.seg_epochs,
                     "n_slots": self.n_slots,
-                    "pvt_filter": self.pvt_filter}
+                    "pvt_filter": self.pvt_filter,
+                    "conv": self._ingest_conv,
+                    "probe_every": self.probe_every}
             if meta != want:
                 raise ValueError(
                     f"checkpoint incompatible with this receiver: "
@@ -412,6 +521,7 @@ class StreamingReceiver:
             slot_next[:] = s0["slot_next"]
             slot_birth[:] = s0["slot_birth"]
             slot_bad[:] = s0["slot_bad"]
+            slot_obs_end[:] = s0["slot_obs_end"]
             tab[:] = s0["tab"]
             carr[:] = s0["carr"]
             offhz[:] = s0["offhz"]
@@ -425,6 +535,7 @@ class StreamingReceiver:
             cn0_sum[:m] = s0["cn0_sum"][:m]
             cn0_cnt[:m] = s0["cn0_cnt"][:m]
             acq_next_seg = s0["acq_next_seg"]
+            self._probe_fix = s0["probe_fix_pos"]
             self._dev_tabs = None
 
         def save_checkpoint(next_seg: int) -> None:
@@ -437,12 +548,17 @@ class StreamingReceiver:
                 "meta": {"fs": self.fs, "system": self.system,
                          "seg_epochs": self.seg_epochs,
                          "n_slots": self.n_slots,
-                         "pvt_filter": self.pvt_filter},
+                         "pvt_filter": self.pvt_filter,
+                         "conv": self._ingest_conv,
+                         "probe_every": self.probe_every},
                 "next_seg": next_seg,
                 "slot_sat": slot_sat.copy(),
                 "slot_next": slot_next.copy(),
                 "slot_birth": slot_birth.copy(),
                 "slot_bad": slot_bad.copy(),
+                "slot_obs_end": slot_obs_end.copy(),
+                "probe_fix_pos": (None if self._probe_fix is None
+                                  else self._probe_fix.copy()),
                 "tab": tab.copy(), "carr": carr.copy(),
                 "offhz": offhz.copy(),
                 "st": {f: np.asarray(getattr(st, f))
@@ -488,11 +604,119 @@ class StreamingReceiver:
             spans.append((iv.sat_id, iv.start_epoch,
                           iv.start_epoch + iv.n_epochs))
             intervals.append(iv)
+            # warm the final decode off the critical path (same gates as
+            # _decode_pvt, so crushed intervals don't burn worker time)
+            skip_w = max(int(round(1000.0 / self.su["epoch_ms"])), 1)
+            if iv.n_epochs > skip_w + 1 and \
+                    float(np.median(iv.cn0[-200:])) >= self.min_cn0:
+                self._submit_obs(dataclasses.replace(iv), iv.n_epochs)
 
+        # ---- nav-health probe machinery ---------------------------------
+        # Every probe_every segments the decode worker bit-syncs/decodes
+        # each open interval's full prefix (also warming _obs_cache for
+        # live snapshots and the final decode). Results are consumed
+        # EXACTLY one segment later — deterministic, so checkpoint/resume
+        # reproduces the same reset decisions bitwise (in-flight probes
+        # at a checkpoint boundary are re-submitted from restored state).
+        probe_pending: list[tuple] = []
+        ms = self.su["epoch_ms"]
+        skip = max(int(round(1000.0 / ms)), 1)
+        wk_adj = {"gps": 2048, "galileo": 1024}.get(self.system, 0)
+
+        def submit_probes(seg):
+            for s in sorted(open_iv):
+                iv = open_iv[s]
+                if iv.n_epochs <= skip + 1:
+                    continue
+                snap = dataclasses.replace(iv)
+                fut = self._submit_obs(snap, snap.n_epochs)
+                probe_pending.append((s, snap.sat_id, snap.start_epoch,
+                                      snap.n_epochs, fut))
+
+        def eval_probes(seg):
+            nonlocal acq_next_seg
+            seg_ep = seg * self.seg_epochs
+            fix_obs: list = []
+            fix_starts: list[int] = []
+            resets: list[tuple[int, str]] = []
+            pending, probe_pending[:] = list(probe_pending), []
+            for s, sat, st0, n_use, fut in pending:
+                obs = fut.result()
+                if slot_sat[s] != sat or s not in open_iv \
+                        or open_iv[s].start_epoch != st0:
+                    continue               # slot reset/reassigned meanwhile
+                age_s = (seg_ep - slot_birth[s]) * ms * 1e-3
+                cause = None
+                if obs is None:
+                    if slot_obs_end[s] < 0:
+                        # never decoded: the ghost-peak reset
+                        # (sdrmain.c:263-340 "nav not decoded" branch)
+                        if age_s >= self.reset_nodecode_s:
+                            cause = "nodecode"
+                    elif (seg_ep - slot_obs_end[s]) * ms * 1e-3 \
+                            >= self.reset_obs_stale_s:
+                        # decoded before, none since: checkObsDelay
+                        # stale-observable reset (sdrmain.c:464-511)
+                        cause = "obs_stale"
+                else:
+                    slot_obs_end[s] = st0 + n_use
+                    week = int(getattr(obs.eph, "week", 0) or 0)
+                    complete = _eph_complete(self.system, obs.eph)
+                    if wk_adj and week and complete \
+                            and week + wk_adj < self.reset_week_min:
+                        # stale/implausible week (sdr.h week gate)
+                        cause = "week"
+                    elif complete and self._probe_fix is not None:
+                        local = min(n_use - 1, seg_ep - st0)
+                        el = self._sat_elevation(obs, local,
+                                                 self._probe_fix)
+                        if el < self.reset_elevation_deg:
+                            # below the reference's 12 deg tracking mask
+                            cause = "elevation"
+                    if cause is None and complete:
+                        fix_obs.append(obs)
+                        fix_starts.append(st0)
+                if cause is not None:
+                    resets.append((s, cause))
+            for s, cause in resets:
+                log(f"[seg {seg}] reset slot {s} "
+                    f"(sat {slot_sat[s]}, cause {cause})")
+                slot_sat[s] = 0
+                slot_obs_end[s] = -1
+                close(s)
+                acq_next_seg = seg             # re-arm the search now
+            # single-epoch WLS at the probe horizon: feeds the NEXT
+            # round's elevation checks (the reference needs a fix for its
+            # elevation reset too — az/el come from the PVT obs matrix)
+            if len(fix_obs) >= 4:
+                m = seg_ep - 1
+                meas = self._epoch_meas(fix_obs, fix_starts, m, skip)
+                if meas is not None and meas[4].sum() >= 4:
+                    _, pos, pr, clk, mask = meas
+                    sol = pvt.solve_wls(pos, pr, clk, mask=mask)
+                    if sol.valid:
+                        self._probe_fix = np.asarray(sol.pos_ecef)
+
+        if start_seg > 0 and (start_seg - 1) % self.probe_every == 0:
+            submit_probes(start_seg - 1)       # in flight at the ckpt
+            # boundary when saved; re-submitted from restored state so
+            # resume reproduces the same (deterministic) reset decisions
+        win_fut = (self._io_pool.submit(get_window, start_seg)
+                   if n_seg > start_seg else None)
         for seg in range(start_seg, n_seg):
             seg_ep = seg * self.seg_epochs
             seg_start = seg_ep * self.n_epoch
-            base, xw = get_window(seg)
+            # pipelined window: segment k's window was assembled+uploaded
+            # by the IO worker while segment k-1 computed; kick off k+1
+            # NOW so its upload overlaps this segment's acquisition
+            # round-trip + tracking scan (the datathread role,
+            # sdrmain.c:402-415)
+            base, xw = win_fut.result()
+            if seg + 1 < n_seg:
+                win_fut = self._io_pool.submit(get_window, seg + 1)
+            # nav-health probe results from the previous segment's submit
+            if probe_pending:
+                eval_probes(seg)
 
             # ---- fill free slots from a fresh acquisition ---------------
             free = [s for s in range(self.n_slots) if slot_sat[s] == 0]
@@ -620,6 +844,8 @@ class StreamingReceiver:
             if ckpt is not None and (seg + 1) % ckpt["every"] == 0 \
                     and seg + 1 < n_seg:
                 save_checkpoint(seg + 1)
+            if seg % self.probe_every == 0 and seg + 1 < n_seg:
+                submit_probes(seg)             # evaluated next segment
             if segment_cb is not None:
                 def snapshot(_upto=(seg + 1) * self.seg_epochs):
                     """Decode + PVT over the data so far (pure function
@@ -640,6 +866,114 @@ class StreamingReceiver:
         self.last_intervals = intervals
         return self._decode_pvt(intervals, acq_seen, spans,
                                 cn0_sum, cn0_cnt, total_epochs)
+
+    # -- interval decode (worker-shared, cached) --------------------------
+    def _submit_obs(self, iv: SlotInterval, n_use: int):
+        """Queue an interval-prefix decode on the decode worker; returns a
+        Future (already-resolved when cached). Only the main thread
+        submits, so the inflight map needs no submit-side locking."""
+        import concurrent.futures as cf
+        key = (iv.sat_id, iv.start_epoch, n_use)
+        with self._obs_lock:
+            cached = self._obs_cache.get(key, self._obs_lock)  # sentinel
+        if cached is not self._obs_lock:
+            fut = cf.Future()
+            fut.set_result(cached)
+            return fut
+        fut = self._obs_inflight.get(key)
+        if fut is None:
+            fut = self._dec_pool.submit(self._build_obs, iv, n_use)
+            self._obs_inflight[key] = fut
+            fut.add_done_callback(
+                lambda f, k=key: self._obs_inflight.pop(k, None))
+        return fut
+
+    def _build_obs(self, iv: SlotInterval, n_use: int):
+        """Decode one interval prefix into ChannelObservables (bit sync ->
+        nav frames -> timing anchor), memoized in _obs_cache. Runs on the
+        decode worker (probes, closed-interval warming) AND synchronously
+        from _decode_pvt; an in-flight duplicate is awaited, not redone."""
+        key = (iv.sat_id, iv.start_epoch, n_use)
+        with self._obs_lock:
+            cached = self._obs_cache.get(key, self._obs_lock)
+        if cached is not self._obs_lock:
+            return cached
+        fut = self._obs_inflight.get(key)
+        if fut is not None and not fut.done() \
+                and threading.current_thread().name[:6] != "rx-dec":
+            return fut.result()
+        args = dict(i_prompt=iv.i_prompt[:n_use],
+                    code_rem=iv.code_rem[:n_use],
+                    carr_freq=iv.carr_freq[:n_use],
+                    cn0=iv.cn0[:n_use],
+                    skip_epochs=max(int(round(1000.0
+                                              / self.su["epoch_ms"])), 1),
+                    sample_offset=iv.sample_offset
+                    - iv.start_epoch * self.n_epoch,
+                    epoch_samples=self.n_epoch)
+        if self.system == "gps":
+            obs = observables.build_channel_observables(
+                prn=iv.sat_id, **args)
+        elif self.system == "galileo":
+            obs = systems.build_galileo_observables(prn=iv.sat_id, **args)
+        else:
+            obs = systems.build_glonass_observables(
+                freq_ch=iv.sat_id, **args)
+        with self._obs_lock:
+            # supersede shorter prefixes of the same interval so the
+            # cache stays O(n_intervals), not O(n * emissions)
+            for k in [k for k in self._obs_cache
+                      if k[:2] == key[:2] and k[2] < n_use]:
+                del self._obs_cache[k]
+            self._obs_cache[key] = obs
+        return obs
+
+    def _sat_elevation(self, obs, local_epoch: int,
+                       fix_pos: np.ndarray) -> float:
+        """Elevation [deg] of the satellite behind `obs` at its
+        local_epoch, seen from fix_pos ECEF (the sdr.h:115-121 elevation
+        health gate needs this; az/el via togeod/topocent in the
+        reference, sdrpvt.c:845-967)."""
+        t_tx = np.array([obs.transmit_time_common(local_epoch)])
+        if self.system == "glonass":
+            pos, _ = systems.glonass_sat_pos_clock([obs.eph], t_tx)
+        else:
+            batch = eph_mod.stack_ephemeris([obs.eph])
+            pos, _ = eph_mod.sat_pos_clock(batch, t_tx)
+        d = np.asarray(pos[0], np.float64) - np.asarray(fix_pos, np.float64)
+        e, n, u = pvt.topocentric(np.asarray(fix_pos, np.float64), d)
+        return float(np.degrees(np.arctan2(u, np.hypot(e, n))))
+
+    def _epoch_meas(self, live, live_start, m: int, skip: int):
+        """Measurements for one PVT epoch m over the decoded channels:
+        (chs, sat_pos, pseudoranges, sat_clk, precheck mask) — the
+        sdrsync.c:47-124 common-ToW alignment + sdrpvt.c:612-762 gates.
+        Returns None when no channel covers the epoch."""
+        idx = [k for k, (ch, st0) in enumerate(zip(live, live_start))
+               if st0 + skip < m < st0 + ch.chips.size]
+        if not idx:
+            return None
+        chs = [live[k] for k in idx]
+        local = [m - live_start[k] for k in idx]
+        t_tx = np.array([ch.transmit_time_common(lm)
+                         for ch, lm in zip(chs, local)])
+        t_rx = t_tx.min() + observables.PTIMING_S
+        pr = 299_792_458.0 * (t_rx - t_tx)
+        if self.system == "glonass":
+            pos, clk = systems.glonass_sat_pos_clock(
+                [ch.eph for ch in chs], t_tx)
+            weeks = np.full(len(chs), 2400)
+        else:
+            batch = eph_mod.stack_ephemeris([ch.eph for ch in chs])
+            pos, clk = eph_mod.sat_pos_clock(batch, t_tx)
+            wk_adj = 2048 if self.system == "gps" else 1024
+            weeks = np.array([ch.eph.week for ch in chs]) + wk_adj
+        snr = np.array([ch.cn0_dbhz[lm] for ch, lm in zip(chs, local)])
+        mask = pvt.precheck_mask(
+            snr_dbhz=snr, week=weeks, tow_s=t_tx, pr_m=pr,
+            eph_complete=[_eph_complete(self.system, ch.eph)
+                          for ch in chs])
+        return chs, pos, pr, clk, mask
 
     def _decode_pvt(self, intervals, acq_seen, spans, cn0_sum, cn0_cnt,
                     upto_epochs: int,
@@ -670,33 +1004,7 @@ class StreamingReceiver:
                 continue
             if float(np.median(iv.cn0[:n_use][-200:])) < self.min_cn0:
                 continue
-            key = (iv.sat_id, iv.start_epoch, n_use)
-            if key in self._obs_cache:
-                obs = self._obs_cache[key]
-            else:
-                args = dict(i_prompt=iv.i_prompt[:n_use],
-                            code_rem=iv.code_rem[:n_use],
-                            carr_freq=iv.carr_freq[:n_use],
-                            cn0=iv.cn0[:n_use],
-                            skip_epochs=skip,
-                            sample_offset=iv.sample_offset
-                            - iv.start_epoch * self.n_epoch,
-                            epoch_samples=self.n_epoch)
-                if self.system == "gps":
-                    obs = observables.build_channel_observables(
-                        prn=iv.sat_id, **args)
-                elif self.system == "galileo":
-                    obs = systems.build_galileo_observables(
-                        prn=iv.sat_id, **args)
-                else:
-                    obs = systems.build_glonass_observables(
-                        freq_ch=iv.sat_id, **args)
-                # supersede shorter prefixes of the same interval so
-                # the cache stays O(n_intervals), not O(n * emissions)
-                for k in [k for k in self._obs_cache
-                          if k[:2] == key[:2] and k[2] < n_use]:
-                    del self._obs_cache[k]
-                self._obs_cache[key] = obs
+            obs = self._build_obs(iv, n_use)
             log(f"interval sat {iv.sat_id} slot {iv.slot} "
                 f"start_ep {iv.start_epoch} n {iv.n_epochs} "
                 f"obs {'OK' if obs is not None else 'None'} "

@@ -20,6 +20,15 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# Keep the CPU test suite on a 12-slot channel pool: the PRODUCT default
+# is the reference's full per-system plan (rx_stream.CHANNEL_PLAN,
+# sdrinit.c:41-107), whose cost is amortized by the TPU's batched scan but
+# not by the CPU backend these tests run on. Tests that exercise the full
+# plan pass n_slots explicitly.
+from gps_jamming_tpu.runtime import rx_stream as _rx_stream
+
+_rx_stream.CHANNEL_PLAN = {k: 12 for k in _rx_stream.CHANNEL_PLAN}
+
 
 @pytest.fixture(scope="session")
 def rng():
