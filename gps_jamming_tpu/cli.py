@@ -299,13 +299,15 @@ def cmd_receiver(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    """Live web dashboard (the GUI layer, no Qt): optionally replays an
-    analysis of the given captures into it."""
+    """Live web dashboard (the GUI layer, no Qt): idle landing page with
+    the start/stop control surface, optionally auto-replaying an
+    analysis of the given captures."""
     import threading
 
     from .runtime import dashboard
     state = dashboard.DashboardState()
-    srv = dashboard.make_server(state, port=args.port)
+    ctl = dashboard.AnalysisController(state)
+    srv = dashboard.make_server(state, port=args.port, controller=ctl)
     if args.files:
         positions = _parse_positions(args.positions, len(args.files))
         threading.Thread(
@@ -315,8 +317,11 @@ def cmd_serve(args) -> int:
                         realtime=args.realtime,
                         antenna_positions=positions),
             daemon=True).start()
+    else:
+        state.set_status("idle — start an analysis from the page "
+                         "or POST /control")
     print(f"dashboard: http://127.0.0.1:{srv.server_address[1]}/ "
-          "(POST telemetry to /data)")
+          "(POST telemetry to /data, start/stop via /control)")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -139,7 +139,8 @@ def _bench_capture(system: str, seconds: float, seed: int = 5):
 
 
 def receiver_chain(system: str = "gps", seconds: float = 6.0,
-                   segment_s: float = 2.0) -> dict:
+                   segment_s: float = 2.0, wire_bits: int = 8,
+                   n_slots: int | None = None) -> dict:
     """Receiver-chain throughput for one constellation (VERDICT r3 item 3).
 
     Runs the PRODUCT receiver — the self-healing StreamingReceiver
@@ -162,7 +163,8 @@ def receiver_chain(system: str = "gps", seconds: float = 6.0,
     sig, fs = _bench_capture(system, seconds)
     n = sig.shape[-1]
     rx = rx_stream.StreamingReceiver(fs, system=system,
-                                     segment_s=segment_s)
+                                     segment_s=segment_s,
+                                     n_slots=n_slots)
     xp = cplx.from_complex(sig)
 
     # the PRODUCT path: uint8 capture on disk -> process_file (int8
@@ -171,10 +173,12 @@ def receiver_chain(system: str = "gps", seconds: float = 6.0,
         path = f"{d}/bench_{system}.bin"
         iq_ops.write_iq_file(path, (sig * 12.0).astype(np.complex64))
         t0 = time.perf_counter()
-        rx.process_file(path, convention="centered")   # warm-up: compiles
+        rx.process_file(path, convention="centered",
+                        wire_bits=wire_bits)           # warm-up: compiles
         warm_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        res = rx.process_file(path, convention="centered")
+        res = rx.process_file(path, convention="centered",
+                              wire_bits=wire_bits)
         wall = time.perf_counter() - t0
 
     # device tracking-scan slope time (one segment, all slots)
@@ -199,7 +203,7 @@ def receiver_chain(system: str = "gps", seconds: float = 6.0,
     return {
         "system": system, "sample_rate_hz": fs,
         "capture_s": round(n / fs, 2),
-        "n_slots": rx.n_slots,
+        "n_slots": rx.n_slots, "wire_bits": wire_bits,
         "e2e_wall_s": round(wall, 3),
         "e2e_msamples_per_s": round(n / wall / 1e6, 2),
         "e2e_realtime_x": round(n / fs / wall, 2),
