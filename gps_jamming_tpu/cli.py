@@ -52,6 +52,17 @@ def _config_with_overrides(args):
 
 def cmd_detect(args) -> int:
     from .runtime import pipeline
+    if args.devices:
+        # sharded product path: psum/all_gather fusion over an
+        # ('antenna', 'time') mesh — numerically identical to the
+        # single-device kernels (tests/test_sharded_detect.py)
+        from .runtime import sharded
+        out = sharded.analyze_capture_sharded(
+            args.files, n_devices=args.devices,
+            cfg=_config_with_overrides(args), system=args.system,
+            sample_rate=args.sample_rate, max_seconds=args.max_seconds)
+        print(json.dumps(out, default=_np_default, indent=2))
+        return 0
     positions = _parse_positions(args.positions, len(args.files))
     res = pipeline.analyze_capture(
         args.files, antenna_positions=positions,
@@ -553,6 +564,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "events + telemetry")
     d.add_argument("--resume", action="store_true",
                    help="restore --checkpoint state and continue")
+    d.add_argument("--devices", type=int,
+                   help="run the SHARDED analysis over N devices on an "
+                        "(antenna, time) mesh: psum-fused PSD, "
+                        "all-gathered F1 profiles, sharded PCF "
+                        "acquisition + pair xcorr (virtual CPU mesh via "
+                        "XLA_FLAGS=--xla_force_host_platform_device_"
+                        "count=N, or real chips)")
     d.set_defaults(fn=cmd_detect)
 
     loc = sub.add_parser("localize", help="RSSI + TDOA localization")
