@@ -188,9 +188,13 @@ def refine_doppler(xp, code_table: np.ndarray, lag_samples, doppler_hz,
     lag = jnp.asarray(lag_samples, jnp.int32)
     dopp = jnp.asarray(doppler_hz, jnp.float32)
 
-    idx = lag[:, None] + jnp.arange(n_win, dtype=jnp.int32)[None, :]
-    win = cplx.apply(lambda a: jnp.take(a, idx, axis=-1,
-                                        mode="clip"), xp)   # (n_ch, n_win)
+    # contiguous per-channel windows: vmapped dynamic_slice (clamped at
+    # the tail like take-with-clip) instead of an arbitrary-index gather
+    # — TPU gathers serialize and this was half the refine cost
+    win = cplx.apply(
+        lambda a: jax.vmap(
+            lambda s: jax.lax.dynamic_slice(a, (s,), (n_win,)))(lag),
+        xp)                                                 # (n_ch, n_win)
     t = jnp.arange(n_win, dtype=jnp.float32) / sample_rate
     osc = cplx.expi(-2.0 * jnp.pi * dopp[:, None] * t[None, :])
     # code Doppler scales with the TRUE carrier Doppler (FDMA offset out)

@@ -60,8 +60,12 @@ def replica_table_host(sample_rate: float, n_samples: int):
 
 def acquire_all(blocks, sample_rate: float, cfg: AcquisitionConfig,
                 center_freq_hz: float = C.GLO_G1_BASE_FREQ_HZ,
-                channels=FREQ_CHANNELS):
+                channels=FREQ_CHANNELS, method: str = "auto"):
     """Batched acquisition over (FDMA channel x Doppler x lag).
+
+    method: 'pcf' (default via 'auto' when the block count splits into
+    coherent groups) = the factorized sub-bin-mix + replica-shift search;
+    'std' = the direct per-(channel x Doppler)-row search.
 
     blocks: (n_intg, n) complex/CArray baseband at `sample_rate` centred
     on `center_freq_hz`. Returns an AcquisitionResult whose leading axis is
@@ -78,18 +82,67 @@ def acquire_all(blocks, sample_rate: float, cfg: AcquisitionConfig,
     """
     blocks = cplx.asarray(blocks)
     n = blocks.shape[-1]
+    nb = blocks.shape[-2]
     offsets = channel_offsets_hz(center_freq_hz, channels)
+    rep = replica_table_host(sample_rate, n)
+    n_groups = 2
+    if method == "auto":
+        method = "pcf" if nb % n_groups == 0 else "std"
+    if method == "pcf":
+        # factorized search (ops.caf.caf_accumulate_pcf_fdma): mixes only
+        # (channel-sub-bin x set) rows instead of all 14x71 frequency
+        # rows — the direct form's (B, 994, n) complex intermediates were
+        # the dominant cost of the whole GLONASS receiver chain (~3.7 s
+        # per acquisition at 10 MS/s on v5e vs ~0.1 s factorized);
+        # 5 ms coherent groups beat the reference's 10x1 ms non-coherent
+        # sensitivity (sdracq.c:15-27) on a finer effective grid.
+        surf = caf_ops.caf_accumulate_pcf_fdma(
+            blocks, rep, offsets, sample_rate,
+            max_doppler_hz=cfg.doppler_max_hz, n_groups=n_groups)
+        freqs = jnp.asarray(caf_ops.pcf_doppler_hz(
+            sample_rate, n, cfg.doppler_max_hz))
+        gl = nb // n_groups
+        res = acq_mod.acquisition_test(surf, freqs, sample_rate, cfg,
+                                       code_period_s=1e-3 * max(gl, 1),
+                                       code_len_chips=511.0)
+        return _nearfar_veto(res, n)
     dopp = caf_ops.doppler_bins(cfg.doppler_max_hz, cfg.doppler_step_hz)
     # flatten (channel, doppler) into one frequency axis
     freqs = (offsets[:, None] + dopp[None, :]).astype(np.float32).ravel()
-    rep = replica_table_host(sample_rate, n)
     surf = caf_ops.caf_surface(blocks, rep, jnp.asarray(freqs), sample_rate)
     # (n_intg, 1, n_ch*n_dopp, n) -> sum integrations -> (n_ch, n_dopp, n)
     surf = jnp.sum(surf, axis=0)[0].reshape(len(channels), dopp.size, n)
     res = acq_mod.acquisition_test(surf, jnp.asarray(dopp), sample_rate,
                                    cfg, code_period_s=1e-3,
                                    code_len_chips=511.0)
-    return res
+    return _nearfar_veto(res, n)
+
+
+def _nearfar_veto(res, n: int, dominance: float = 100.0,
+                  lag_chips: float = 6.0):
+    """Suppress FDMA near-far ghosts (traced; safe under jit).
+
+    All GLONASS channels share ONE ranging code, so a strong channel's
+    spectral sidelobes leak a lag-aligned correlation peak into other
+    channels' bands (the acquire_all docstring caveat). A channel whose
+    peak power is `dominance`x below an acquired channel at (circularly)
+    the same code lag is that channel's leakage image, not a satellite —
+    real GLONASS near-far never reaches 20 dB (satellite geometry bounds
+    the received-power spread). The reference cleans such ghosts up via
+    tracking health resets (sdrmain.c:263-340); vetoing them at
+    acquisition keeps them from occupying receiver slots at all.
+    """
+    lag_samps = lag_chips * n / 511.0
+    acq = res.acquired
+    peak = res.peak_power
+    lag = res.code_phase.astype(jnp.float32)
+    d = jnp.abs(lag[:, None] - lag[None, :])
+    circ = jnp.minimum(d, n - d)
+    dominated = (acq[None, :]
+                 & (peak[None, :] > peak[:, None] * dominance)
+                 & (circ < lag_samps))
+    veto = jnp.any(dominated, axis=1)
+    return res._replace(acquired=acq & ~veto)
 
 
 # ---------------------------------------------------------------------------

@@ -461,14 +461,39 @@ def make_tracker(code_table: np.ndarray, sample_rate: float,
             n_epochs = int((x.shape[-1] - int(np.max(start_offsets)))
                            // n_epoch)
 
-        def gather_step(st, k):
-            starts = offs + k * n_epoch
-            win = cplx.apply(
-                lambda a: jax.vmap(
-                    lambda s: jax.lax.dynamic_slice(a, (s,), (n_epoch,))
-                )(starts), x)
-            return stp(st, (win, k + start_epoch))
+        # chunked window gather: the per-EPOCH vmapped dynamic_slice was
+        # ~60% of the whole scan on v5e and scaled linearly with slots
+        # (TPU gathers serialize). Gather K epochs per slot in one
+        # contiguous slice per outer step, then feed the K per-epoch
+        # windows to the inner scan as xs (leading-axis scan slices are
+        # free) — identical windows, K-fold fewer gathers.
+        K = 1
+        for cand in range(min(16, n_epochs), 0, -1):
+            if n_epochs % cand == 0:
+                K = cand
+                break
+        n_ch = offs.shape[0]
 
-        return jax.lax.scan(gather_step, state, jnp.arange(n_epochs))
+        def chunk_step(st, c):
+            starts = offs + c * (K * n_epoch)
+            seg = cplx.apply(
+                lambda a: jax.vmap(
+                    lambda s: jax.lax.dynamic_slice(a, (s,),
+                                                    (K * n_epoch,))
+                )(starts), x)                        # (n_ch, K*n_epoch)
+            wins = cplx.apply(
+                lambda a: jnp.swapaxes(
+                    a.reshape(n_ch, K, n_epoch), 0, 1), seg)
+            # start_epoch may be per-channel (the streaming receiver's
+            # slot ages) — each inner-scan element gets its (n_ch,) row
+            idx = ((c * K + jnp.arange(K))[:, None]
+                   + jnp.atleast_1d(jnp.asarray(start_epoch))[None, :])
+            return jax.lax.scan(stp, st, (wins, idx))
+
+        st2, outs = jax.lax.scan(chunk_step, state,
+                                 jnp.arange(n_epochs // K))
+        outs = jax.tree_util.tree_map(
+            lambda a: a.reshape((n_epochs,) + a.shape[2:]), outs)
+        return st2, outs
 
     return step, run, n_epoch

@@ -316,6 +316,107 @@ def caf_accumulate_pcf(blocks, replica_fft_conj, sample_rate: float,
     return surf.reshape(n_prn, n_c * n_sets * fine.size, n)
 
 
+def caf_accumulate_pcf_fdma(blocks, replica_fft_conj, offsets_hz,
+                            sample_rate: float,
+                            max_doppler_hz: float = 7000.0,
+                            n_sets: int = 2,
+                            fine_hz=(-200.0, 0.0, 200.0),
+                            n_groups: int = 2) -> jax.Array:
+    """PCF-factorized acquisition over FDMA channels sharing ONE code.
+
+    The GLONASS G1 search (glonass.acquire_all) is (14 channels x 71
+    Doppler x n lags): the direct formulation mixes 994 frequency rows of
+    the full block set (a ~(B, 994, n) complex intermediate — gigabytes
+    of HBM traffic at n = 10000). This factorization mixes only
+    (channel-sub-bin x set) rows and rides the rest on integer FFT-bin
+    shifts of the SHARED replica spectrum:
+
+      offset_c = coarse_c * bin + sub_c   (bin = fs/n, sub_c in [0, bin))
+      mix rows = e^{-j 2 pi (sub_c + s*bin/n_sets) t}      (C x S x B
+                 forward FFTs — 280 vs 9940 for the direct form)
+      coarse   = replica shifted by (coarse_c + d), d in [-D..D]
+                 (D = floor(max_doppler/bin); the shift phase falls out
+                 of |.|^2)
+      fine     = cross-block DFT inside each of n_groups coherent groups
+                 (5 ms coherent at 1 ms codes — MORE sensitive than the
+                 reference's 10x1 ms non-coherent sum, sdracq.c:15-27)
+
+    blocks: (n_blocks, n), one code period each. replica_fft_conj:
+    (1, n) conj(FFT(replica)) CArray. offsets_hz: (n_ch,) static FDMA
+    offsets. Returns (n_ch, n_coarse*n_sets*n_fine, n) float32; the
+    Doppler of axis-1 index i RELATIVE TO THE CHANNEL CARRIER is
+    pcf_doppler_hz(sample_rate, n, max_doppler_hz, n_sets, fine_hz)[i]
+    (sub_c is wiped exactly by the mix; set/fine carry the same <=50 Hz
+    interior within-block bias as the GPS PCF search).
+    """
+    x = cplx.asarray(blocks)
+    rep = replica_fft_conj if isinstance(replica_fft_conj, cplx.CArray) \
+        else cplx.asarray(replica_fft_conj)
+    nb, n = x.shape[-2], x.shape[-1]
+    if nb % n_groups:
+        raise ValueError(f"n_blocks {nb} not divisible by {n_groups}")
+    gl = nb // n_groups
+    bin_hz = sample_rate / n
+    set_off = bin_hz / n_sets
+    offs = np.asarray(offsets_hz, np.float64).reshape(-1)
+    n_ch = offs.size
+    coarse_c = np.floor(offs / bin_hz).astype(np.int64)
+    sub_c = offs - coarse_c * bin_hz                     # [0, bin)
+    D = int(np.floor(max_doppler_hz / bin_hz))
+    dvals = np.arange(-D, D + 1)
+    n_c = dvals.size
+    fine = np.asarray(fine_hz, np.float64)
+    nF = fine.size
+    t_block = n / sample_rate
+
+    # 1. (channel-sub-bin x set) mixes + forward FFTs: (C, S, B, n)
+    t = jnp.arange(n, dtype=jnp.float32) / np.float32(sample_rate)
+    mix_f = (sub_c[:, None] + np.arange(n_sets)[None, :] * set_off)
+    osc = cplx.expi(-2.0 * jnp.pi
+                    * jnp.asarray(mix_f.astype(np.float32))[:, :, None,
+                                                            None]
+                    * t[None, None, None, :])
+    mixed = cplx.mul(cplx.apply(lambda a: a[None, None], x), osc)
+    mf = fftcore.fft_p(mixed)                            # (C, S, B, n)
+
+    # 2. cross-block fine DFT inside coherent groups: the inter-block
+    # phase of the mix row (sub_c + s*set_off per block period) must be
+    # folded into the weights (it does NOT fall out of |.|^2 because the
+    # group sum is coherent); the coarse replica shift needs none.
+    b_idx = np.arange(nb, dtype=np.float64)
+    wf = (fine[None, None, :] + mix_f[:, :, None])       # (C, S, F)
+    phase = -2.0 * np.pi * wf[..., None] * (b_idx * t_block)
+    w_re = np.cos(phase).astype(np.float32)              # (C, S, F, B)
+    w_im = np.sin(phase).astype(np.float32)
+    grp = np.zeros((n_groups, nb), np.float32)
+    for g in range(n_groups):
+        grp[g, g * gl:(g + 1) * gl] = 1.0
+    wg_re = jnp.asarray(w_re[..., None, :] * grp)        # (C,S,F,G,B)
+    wg_im = jnp.asarray(w_im[..., None, :] * grp)
+    s_re = (jnp.einsum("csfgb,csbk->csfgk", wg_re, mf.re)
+            - jnp.einsum("csfgb,csbk->csfgk", wg_im, mf.im))
+    s_im = (jnp.einsum("csfgb,csbk->csfgk", wg_re, mf.im)
+            + jnp.einsum("csfgb,csbk->csfgk", wg_im, mf.re))
+    S = cplx.CArray(s_re, s_im)                          # (C,S,F,G,n)
+
+    # 3. per-channel coarse shifts of the shared replica spectrum:
+    # repc[c, d, k] = rep[(k - (coarse_c + d)) mod n]  — host constant
+    shift = (coarse_c[:, None] + dvals[None, :])         # (C, n_c)
+    k_idx = (np.arange(n)[None, None, :] - shift[..., None]) % n
+    rep_re = np.asarray(rep.re, np.float32).reshape(n)
+    rep_im = np.asarray(rep.im, np.float32).reshape(n)
+    repc = cplx.CArray(jnp.asarray(rep_re[k_idx]),
+                       jnp.asarray(rep_im[k_idx]))       # (C, n_c, n)
+
+    # 4. product -> inverse -> |.|^2 -> non-coherent group sum
+    prod = cplx.mul(
+        cplx.apply(lambda a: a[:, :, None, None, None, :], repc),
+        cplx.apply(lambda a: a[:, None], S))             # (C,nc,S,F,G,n)
+    pwr = fftcore.ifft_power_p(prod)
+    surf = jnp.sum(pwr, axis=-2)                         # (C,nc,S,F,n)
+    return surf.reshape(n_ch, n_c * n_sets * nF, n)
+
+
 def caf_pair(a, b, freqs: jax.Array, sample_rate: float) -> jax.Array:
     """Signal-vs-signal CAF (delay x Doppler) for one antenna pair.
 

@@ -200,18 +200,24 @@ def receiver_chain(system: str = "gps", seconds: float = 6.0,
     dt_scan = _slope_time(rx._jit_run, *args, n_lo=2, n_hi=8)
     seg_samples = rx.seg_epochs * rx.n_epoch
 
+    # whole segments only: the realtime multiple must count the samples
+    # the receiver actually processed, not the file tail it skipped
+    n_used = ((n - rx.su["n_code"]) // seg_samples) * seg_samples
     return {
         "system": system, "sample_rate_hz": fs,
         "capture_s": round(n / fs, 2),
+        "processed_s": round(n_used / fs, 2),
         "n_slots": rx.n_slots, "wire_bits": wire_bits,
         "e2e_wall_s": round(wall, 3),
-        "e2e_msamples_per_s": round(n / wall / 1e6, 2),
-        "e2e_realtime_x": round(n / fs / wall, 2),
+        "e2e_msamples_per_s": round(n_used / wall / 1e6, 2),
+        "e2e_realtime_x": round(n_used / fs / wall, 2),
         "track_scan_s_per_segment": round(dt_scan, 5),
         "track_msamples_per_s": round(seg_samples / dt_scan / 1e6, 2),
         "track_realtime_x": round(seg_samples / fs / dt_scan, 2),
         "n_fixes": len([f for f in res.fixes if f.valid]),
         "compile_warmup_s": round(warm_s, 1),
+        "profile_s": {k: round(v, 3) if isinstance(v, float) else v
+                      for k, v in getattr(rx, "last_profile", {}).items()},
     }
 
 

@@ -453,8 +453,13 @@ class StreamingReceiver:
             if pack_lut is not None:
                 q = pack_lut[w.view(np.uint8)]
                 w = ((q[:, 0::2] & 15) | (q[:, 1::2] << 4)).astype(np.int8)
-            return seg * S, cplx.CArray(jnp.asarray(w[0]),
-                                        jnp.asarray(w[1]))
+            d = jax.device_put(w)          # ONE transfer for both planes
+            # force the copy NOW, on this IO worker thread: the runtime
+            # defers host->device transfers to the first consumer, which
+            # would serialize the whole upload into the NEXT segment's
+            # result fetch instead of overlapping it with compute
+            np.asarray(d[0, :1])
+            return seg * S, cplx.CArray(d[0], d[1])
 
         try:
             return self._process_core(get_window, n_seg, verbose,
@@ -705,6 +710,12 @@ class StreamingReceiver:
                     if sol.valid:
                         self._probe_fix = np.asarray(sol.pos_ecef)
 
+        import time as _time
+        prof = {"win_wait": 0.0, "probes": 0.0, "acquire": 0.0,
+                "scan": 0.0, "book": 0.0, "ckpt_cb": 0.0,
+                "final_decode": 0.0, "n_acquire_calls": 0}
+        self.last_profile = prof
+
         if start_seg > 0 and (start_seg - 1) % self.probe_every == 0:
             submit_probes(start_seg - 1)       # in flight at the ckpt
             # boundary when saved; re-submitted from restored state so
@@ -719,16 +730,22 @@ class StreamingReceiver:
             # NOW so its upload overlaps this segment's acquisition
             # round-trip + tracking scan (the datathread role,
             # sdrmain.c:402-415)
+            pt0 = _time.perf_counter()
             base, xw = win_fut.result()
             if seg + 1 < n_seg:
                 win_fut = self._io_pool.submit(get_window, seg + 1)
+            pt1 = _time.perf_counter()
+            prof["win_wait"] += pt1 - pt0
             # nav-health probe results from the previous segment's submit
             if probe_pending:
                 eval_probes(seg)
+            pt2 = _time.perf_counter()
+            prof["probes"] += pt2 - pt1
 
             # ---- fill free slots from a fresh acquisition ---------------
             free = [s for s in range(self.n_slots) if slot_sat[s] == 0]
             if free and seg >= acq_next_seg:
+                prof["n_acquire_calls"] += 1
                 packed_acq = self._acquire(xw, seg_start - base)
                 acq = packed_acq[0] > 0.5
                 lags = packed_acq[1]
@@ -794,6 +811,8 @@ class StreamingReceiver:
                     self._dev_tabs = None      # slot tables changed
 
             # ---- one tracking scan over the segment ---------------------
+            pt3 = _time.perf_counter()
+            prof["acquire"] += pt3 - pt2
             ages = (seg_ep - slot_birth).astype(np.int32)
             if self._dev_tabs is None:
                 self._dev_tabs = (jnp.asarray(tab), jnp.asarray(carr),
@@ -806,6 +825,8 @@ class StreamingReceiver:
             packed = np.asarray(packed)        # one fetch for all streams
             ip, rem, cf, cn0 = packed
             slot_next += self.seg_epochs * self.n_epoch
+            pt4 = _time.perf_counter()
+            prof["scan"] += pt4 - pt3
 
             # ---- append outputs + health check --------------------------
             for s in list(open_iv):
@@ -849,6 +870,8 @@ class StreamingReceiver:
                     f"{float(np.median(cn0[-200:, s])):.0f}"
                     for s in range(self.n_slots))
                 + " bad: " + ",".join(str(v) for v in slot_bad))
+            prof["book"] += _time.perf_counter() - pt4
+            pt5 = _time.perf_counter()
             if ckpt is not None and (seg + 1) % ckpt["every"] == 0 \
                     and seg + 1 < n_seg:
                 save_checkpoint(seg + 1)
@@ -869,11 +892,15 @@ class StreamingReceiver:
                         ivs, acq_seen, sp, cn0_sum, cn0_cnt, _upto,
                         prefix_bucket=4 * self.seg_epochs)
                 segment_cb(seg + 1, n_seg, snapshot)
+            prof["ckpt_cb"] += _time.perf_counter() - pt5
         for s in list(open_iv):
             close(s)
         self.last_intervals = intervals
-        return self._decode_pvt(intervals, acq_seen, spans,
-                                cn0_sum, cn0_cnt, total_epochs)
+        pt6 = _time.perf_counter()
+        out = self._decode_pvt(intervals, acq_seen, spans,
+                               cn0_sum, cn0_cnt, total_epochs)
+        prof["final_decode"] = _time.perf_counter() - pt6
+        return out
 
     # -- interval decode (worker-shared, cached) --------------------------
     def _submit_obs(self, iv: SlotInterval, n_use: int):

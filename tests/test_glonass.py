@@ -84,3 +84,36 @@ def test_fdma_acquisition():
     silent = [i for i, ch in enumerate(chans)
               if ch not in (-3, 4)]
     assert not acq[silent].any()
+
+
+def test_fdma_acquisition_pcf_matches_std():
+    """The factorized FDMA-PCF search finds the same (channel, lag) as
+    the direct per-row search, with Doppler within the PCF grid bias,
+    on the same blocks (the ops.caf.caf_accumulate_pcf_fdma contract)."""
+    sigs = [sim_glo.GloSignal(freq_ch=-3, doppler_hz=1500.0,
+                              code_phase_chips=123.25),
+            sim_glo.GloSignal(freq_ch=4, doppler_hz=-2800.0,
+                              code_phase_chips=401.0, amplitude=0.9)]
+    n_intg = 4
+    x = sim_glo.scene(sigs, n_intg * N_CODE, FS, noise_std=0.4,
+                      key=jax.random.PRNGKey(2))
+    blocks = x.reshape(n_intg, N_CODE)
+    cfg = AcquisitionConfig(doppler_step_hz=250.0)
+    r_std = glo.acquire_all(blocks, FS, cfg, method="std")
+    r_pcf = glo.acquire_all(blocks, FS, cfg, method="pcf")
+    chans = list(glo.FREQ_CHANNELS)
+    for sig in sigs:
+        i = chans.index(sig.freq_ch)
+        assert bool(np.asarray(r_std.acquired)[i])
+        assert bool(np.asarray(r_pcf.acquired)[i])
+        lag_s = float(np.asarray(r_std.code_phase)[i])
+        lag_p = float(np.asarray(r_pcf.code_phase)[i])
+        err = (lag_p - lag_s + N_CODE / 2) % N_CODE - N_CODE / 2
+        assert abs(err) <= 2.0, (sig.freq_ch, lag_s, lag_p)
+        d_s = float(np.asarray(r_std.doppler_hz)[i])
+        d_p = float(np.asarray(r_pcf.doppler_hz)[i])
+        assert abs(d_p - d_s) <= 200.0, (d_s, d_p)
+    # the 5 ms coherent PCF grouping must not LOSE either signal and
+    # both searches agree on silence elsewhere
+    silent = [i for i, ch in enumerate(chans) if ch not in (-3, 4)]
+    assert not np.asarray(r_pcf.acquired)[silent].any()
