@@ -549,10 +549,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the acquire-once whole-capture receiver "
                         "instead of the default self-healing streaming "
                         "receiver (short clean captures only)")
-    d.add_argument("--wire-bits", type=int, default=8, choices=[8, 4],
-                   help="receiver upload width: 4 packs two 4-bit "
-                        "samples per byte (half the host->device bytes, "
-                        "~0.14 dB C/N0 cost) for upload-bound links")
+    d.add_argument("--wire-bits", type=int, default=8, choices=[8, 4, 2],
+                   help="receiver upload width: 4 = two 4-bit samples "
+                        "per byte (~0.14 dB C/N0 cost), 2 = four 2-bit "
+                        "samples per byte (classic 4-level GNSS "
+                        "quantizer, ~0.55 dB) — for upload-bound links")
     d.add_argument("--checkpoint",
                    help="persist the whole detect state here (power "
                         "profile + receiver segments + emission cursor); "
@@ -705,9 +706,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--resume", action="store_true",
                    help="restore --checkpoint state and continue; the "
                         "result equals the uninterrupted run exactly")
-    r.add_argument("--wire-bits", type=int, default=8, choices=[8, 4],
+    r.add_argument("--wire-bits", type=int, default=8, choices=[8, 4, 2],
                    help="with --streaming: upload width (4 = packed "
-                        "nibbles, half the bytes, ~0.14 dB C/N0 cost)")
+                        "nibbles ~0.14 dB; 2 = 4-level quantizer "
+                        "~0.55 dB C/N0 cost)")
     r.add_argument("--filter", default="wls", choices=["wls", "ekf"],
                    help="PVT filter: wls (blsFilter parity) or ekf — "
                         "the 8-state coasting EKF the reference reserves "

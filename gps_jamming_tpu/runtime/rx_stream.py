@@ -237,6 +237,19 @@ class StreamingReceiver:
                 return v.astype(jnp.float32) * scale
 
             return cplx.CArray(unpack(x.re), unpack(x.im))
+        if self._ingest_conv[0] == "i2":
+            # four 2-bit fields per byte, levels (2q+1)*delta with
+            # q in {-2..1} -> {-3,-1,1,3}*delta (the classic optimal
+            # 2-bit GNSS quantizer, ~0.55 dB SNR cost)
+            delta = self._ingest_conv[1]
+
+            def unpack(b):
+                fs_ = [jnp.right_shift(jnp.left_shift(b, 6 - 2 * k), 6)
+                       for k in range(4)]
+                v = jnp.stack(fs_, axis=-1).reshape(4 * b.shape[-1])
+                return (2.0 * v.astype(jnp.float32) + 1.0) * delta
+
+            return cplx.CArray(unpack(x.re), unpack(x.im))
         _, off, scale = self._ingest_conv
         return cplx.CArray((x.re.astype(jnp.float32) + off) * scale,
                            (x.im.astype(jnp.float32) + off) * scale)
@@ -393,21 +406,30 @@ class StreamingReceiver:
         else:
             raise ValueError(f"unknown convention {convention!r}")
         pack_lut = None
-        if wire_bits == 4:
-            # quantization step from the first reader block: +/-2.5 sigma
-            # of the CENTERED signal onto [-7, 7]; one byte -> nibble LUT
-            # packs each component plane with a single gather
+        if wire_bits in (4, 2):
             head_u8 = np.fromfile(path, dtype=np.uint8,
                                   count=min(2 * S, n_bytes))
             sigma = float(np.std(head_u8.astype(np.float32) - 127.5))
-            step = max(2.5 * sigma / 7.0, 0.25)
             vals = np.arange(256).astype(np.int8).astype(np.float32) + off
-            pack_lut = np.clip(np.round(vals / step), -8, 7).astype(np.int8)
-            conv = ("i4", np.float32(step * scale))
+            if wire_bits == 4:
+                # +/-2.5 sigma of the CENTERED signal onto [-7, 7]; one
+                # byte -> nibble LUT packs each plane with a single gather
+                step = max(2.5 * sigma / 7.0, 0.25)
+                pack_lut = np.clip(np.round(vals / step), -8,
+                                   7).astype(np.int8)
+                conv = ("i4", np.float32(step * scale))
+            else:
+                # optimal 4-level quantizer: levels (2q+1)*delta,
+                # delta ~= 0.59 sigma, thresholds at {-2, 0, +2} delta
+                delta = max(0.59 * sigma, 0.25)
+                pack_lut = np.clip(np.floor(vals / (2.0 * delta)), -2,
+                                   1).astype(np.int8)
+                conv = ("i2", np.float32(delta * scale))
         elif wire_bits == 8:
             conv = ("i8", np.float32(off), np.float32(scale))
         else:
-            raise ValueError(f"wire_bits must be 4 or 8, got {wire_bits}")
+            raise ValueError(
+                f"wire_bits must be 8, 4 or 2, got {wire_bits}")
         if conv != self._ingest_conv:
             # the conversion constants are baked into the traced fns —
             # re-wrap the jits when a reused receiver switches convention
@@ -452,7 +474,13 @@ class StreamingReceiver:
                 buf.pop(k)                     # keep only seg, seg+1
             if pack_lut is not None:
                 q = pack_lut[w.view(np.uint8)]
-                w = ((q[:, 0::2] & 15) | (q[:, 1::2] << 4)).astype(np.int8)
+                if conv[0] == "i4":
+                    w = ((q[:, 0::2] & 15)
+                         | (q[:, 1::2] << 4)).astype(np.int8)
+                else:                      # i2: four samples per byte
+                    w = ((q[:, 0::4] & 3) | ((q[:, 1::4] & 3) << 2)
+                         | ((q[:, 2::4] & 3) << 4)
+                         | (q[:, 3::4] << 6)).astype(np.int8)
             d = jax.device_put(w)          # ONE transfer for both planes
             # force the copy NOW, on this IO worker thread: the runtime
             # defers host->device transfers to the first consumer, which
@@ -732,8 +760,6 @@ class StreamingReceiver:
             # sdrmain.c:402-415)
             pt0 = _time.perf_counter()
             base, xw = win_fut.result()
-            if seg + 1 < n_seg:
-                win_fut = self._io_pool.submit(get_window, seg + 1)
             pt1 = _time.perf_counter()
             prof["win_wait"] += pt1 - pt0
             # nav-health probe results from the previous segment's submit
@@ -822,6 +848,13 @@ class StreamingReceiver:
                                   ages.astype(np.int32)])
             st, packed = self._jit_run(
                 st, xw, jnp.asarray(offs_ages), d_tab, d_carr, d_offhz)
+            # submit the NEXT window only after this segment's last device
+            # dispatch: the runtime's stream is IN-ORDER, so an upload
+            # enqueued before this segment's acquisition/scan would stall
+            # them behind the whole transfer; enqueued here it overlaps
+            # the result fetch + host bookkeeping/decode instead
+            if seg + 1 < n_seg:
+                win_fut = self._io_pool.submit(get_window, seg + 1)
             packed = np.asarray(packed)        # one fetch for all streams
             ip, rem, cf, cn0 = packed
             slot_next += self.seg_epochs * self.n_epoch

@@ -207,3 +207,55 @@ def test_wire4_default_quantization_loss_small():
     # correlator gain preserved within 0.2 dB
     loss_db = 20.0 * np.log10(abs(c_full) / max(abs(c_q), 1e-9))
     assert abs(loss_db) < 0.2, loss_db
+
+
+def test_wire2_pack_unpack_roundtrip():
+    """Device unpack of the 2-bit wire (four samples/byte, levels
+    (2q+1)*delta) inverts the host pack exactly."""
+    rx = rx_stream.StreamingReceiver(FS, system="gps", n_slots=2,
+                                     segment_s=0.25)
+    rng = np.random.default_rng(5)
+    v = rng.integers(-128, 128, (2, 4096), dtype=np.int8)
+    off, delta = 0.5, 12.0
+    vals = np.arange(256).astype(np.int8).astype(np.float32) + off
+    lut = np.clip(np.floor(vals / (2.0 * delta)), -2, 1).astype(np.int8)
+    q = lut[v.view(np.uint8)]
+    packed = ((q[:, 0::4] & 3) | ((q[:, 1::4] & 3) << 2)
+              | ((q[:, 2::4] & 3) << 4) | (q[:, 3::4] << 6)).astype(np.int8)
+
+    import jax.numpy as jnp
+    rx._ingest_conv = ("i2", np.float32(delta))
+    out = rx._ingest(cplx.CArray(jnp.asarray(packed[0]),
+                                 jnp.asarray(packed[1])))
+    want = (2.0 * q.astype(np.float32) + 1.0) * delta
+    np.testing.assert_array_equal(np.asarray(out.re), want[0])
+    np.testing.assert_array_equal(np.asarray(out.im), want[1])
+    # levels are the classic {-3,-1,1,3} * delta set
+    assert set(np.unique(want)) <= {-3.0 * delta, -delta, delta,
+                                    3.0 * delta}
+
+
+@pytest.mark.slow
+def test_wire4_file_path_still_fixes(tmp_path):
+    """process_file with --wire-bits 4 (half the upload bytes) still
+    acquires, decodes and fixes on a geometry-true capture — the
+    quantization cost stays inside the link margin."""
+    import jax
+
+    from gps_jamming_tpu.ops import iq as iq_ops
+    from gps_jamming_tpu.sim import constellation
+    from tests.test_rx_stream import FS as GFS, RX_LLA, TOE, _shell
+
+    tow0 = TOE - 1.3
+    n = int(26.0 * GFS)
+    sig, truths, rx_ecef = constellation.simulate_constellation(
+        _shell(), RX_LLA, tow0, n, GFS, noise_std=0.3, seed=11)
+    path = str(tmp_path / "cap.bin")
+    iq_ops.write_iq_file(path, (sig * 12.0).astype(np.complex64))
+
+    rx = rx_stream.StreamingReceiver(GFS, system="gps", segment_s=2.0)
+    res = rx.process_file(path, convention="centered", wire_bits=4)
+    errs = [np.linalg.norm(f.pos_ecef - rx_ecef)
+            for f in res.fixes if f.valid]
+    assert errs, "no fixes through the 4-bit wire"
+    assert np.median(errs) < 35.0, np.median(errs)
