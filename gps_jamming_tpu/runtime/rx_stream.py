@@ -805,8 +805,13 @@ class StreamingReceiver:
                         code_len=su["code_len"], chip_rate=su["chip_rate"],
                         carrier_hz=c2 if c2 is not None else 1575.42e6,
                         nominal_offset_hz=o2 if o2 is not None else 0.0)
-                    st_h = jax.tree_util.tree_map(
-                        lambda a: np.array(a), st)
+                    # ONE stacked fetch for the whole tracking state: a
+                    # per-field tree_map paid 11 tunnel round trips
+                    # (~1.1 s) on every assignment
+                    st_stack = np.array(jnp.stack(list(st)))  # writable
+                    init_stack = np.asarray(jnp.stack(list(init2)))
+                    st_h = type(st)(*st_stack)
+                    init_h = type(init2)(*init_stack)
                     for j, (i, s) in enumerate(zip(new_idx, free)):
                         sat = ids[i]
                         slot_sat[s] = sat
@@ -822,7 +827,7 @@ class StreamingReceiver:
                             offhz[s] = 0.0
                         for f in st_h._fields:
                             getattr(st_h, f)[s] = \
-                                getattr(init2, f)[j]
+                                getattr(init_h, f)[j]
                         open_iv[s] = SlotInterval(
                             sat_id=sat, slot=s, start_epoch=seg_ep,
                             sample_offset=float(abs_lag[j]))
@@ -833,7 +838,10 @@ class StreamingReceiver:
                                 code_phase_samples=float(lags[new_idx][j]),
                                 peak_ratio=float(ratios[i]),
                                 cn0_dbhz=float(cn0s[i]))
-                    st = jax.tree_util.tree_map(jnp.asarray, st_h)
+                    # ONE upload for the whole state; per-field device
+                    # views are cheap dispatches, not round trips
+                    dev = jnp.asarray(np.stack(list(st_h)))
+                    st = type(st)(*[dev[fi] for fi in range(len(st_h))])
                     self._dev_tabs = None      # slot tables changed
 
             # ---- one tracking scan over the segment ---------------------
