@@ -227,14 +227,20 @@ class StreamingReceiver:
         """
         if not jnp.issubdtype(x.re.dtype, jnp.integer):
             return x
+        # packed wires use BLOCK layout (byte j carries samples j,
+        # j+W/2, ... — not adjacent pairs): the unpack is then a pure
+        # concatenation of the shifted planes. An interleaving unpack
+        # (stack(..., axis=-1).reshape) materializes an (N, 2|4) f32
+        # intermediate whose minor dim pads to 128 lanes on TPU — a
+        # 64x HBM blowup that OOMs on 8 s GLONASS windows.
         if self._ingest_conv[0] == "i4":
             scale = self._ingest_conv[1]
 
             def unpack(b):
                 lo = jnp.right_shift(jnp.left_shift(b, 4), 4)
                 hi = jnp.right_shift(b, 4)
-                v = jnp.stack([lo, hi], axis=-1).reshape(2 * b.shape[-1])
-                return v.astype(jnp.float32) * scale
+                return (jnp.concatenate([lo, hi])
+                        .astype(jnp.float32) * scale)
 
             return cplx.CArray(unpack(x.re), unpack(x.im))
         if self._ingest_conv[0] == "i2":
@@ -246,7 +252,7 @@ class StreamingReceiver:
             def unpack(b):
                 fs_ = [jnp.right_shift(jnp.left_shift(b, 6 - 2 * k), 6)
                        for k in range(4)]
-                v = jnp.stack(fs_, axis=-1).reshape(4 * b.shape[-1])
+                v = jnp.concatenate(fs_)
                 return (2.0 * v.astype(jnp.float32) + 1.0) * delta
 
             return cplx.CArray(unpack(x.re), unpack(x.im))
@@ -473,14 +479,18 @@ class StreamingReceiver:
             for k in [k for k in buf if k < seg]:
                 buf.pop(k)                     # keep only seg, seg+1
             if pack_lut is not None:
+                # BLOCK layout to match _ingest's concat unpack: byte j
+                # carries samples {j, j + W/2} (i4) / {j + k*W/4} (i2)
                 q = pack_lut[w.view(np.uint8)]
                 if conv[0] == "i4":
-                    w = ((q[:, 0::2] & 15)
-                         | (q[:, 1::2] << 4)).astype(np.int8)
+                    h = W // 2
+                    w = ((q[:, :h] & 15)
+                         | (q[:, h:] << 4)).astype(np.int8)
                 else:                      # i2: four samples per byte
-                    w = ((q[:, 0::4] & 3) | ((q[:, 1::4] & 3) << 2)
-                         | ((q[:, 2::4] & 3) << 4)
-                         | (q[:, 3::4] << 6)).astype(np.int8)
+                    qr = q.reshape(2, 4, W // 4)
+                    w = ((qr[:, 0] & 3) | ((qr[:, 1] & 3) << 2)
+                         | ((qr[:, 2] & 3) << 4)
+                         | (qr[:, 3] << 6)).astype(np.int8)
             d = jax.device_put(w)          # ONE transfer for both planes
             # force the copy NOW, on this IO worker thread: the runtime
             # defers host->device transfers to the first consumer, which

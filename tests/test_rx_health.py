@@ -177,7 +177,8 @@ def test_wire4_pack_unpack_roundtrip():
     vals = np.arange(256).astype(np.int8).astype(np.float32) + off
     lut = np.clip(np.round(vals / step), -8, 7).astype(np.int8)
     q = lut[v.view(np.uint8)]
-    packed = ((q[:, 0::2] & 15) | (q[:, 1::2] << 4)).astype(np.int8)
+    h = q.shape[1] // 2                 # BLOCK layout: byte j carries
+    packed = ((q[:, :h] & 15) | (q[:, h:] << 4)).astype(np.int8)
 
     import jax.numpy as jnp
     rx._ingest_conv = ("i4", np.float32(step))
@@ -220,8 +221,9 @@ def test_wire2_pack_unpack_roundtrip():
     vals = np.arange(256).astype(np.int8).astype(np.float32) + off
     lut = np.clip(np.floor(vals / (2.0 * delta)), -2, 1).astype(np.int8)
     q = lut[v.view(np.uint8)]
-    packed = ((q[:, 0::4] & 3) | ((q[:, 1::4] & 3) << 2)
-              | ((q[:, 2::4] & 3) << 4) | (q[:, 3::4] << 6)).astype(np.int8)
+    qr = q.reshape(2, 4, q.shape[1] // 4)   # BLOCK layout quarters
+    packed = ((qr[:, 0] & 3) | ((qr[:, 1] & 3) << 2)
+              | ((qr[:, 2] & 3) << 4) | (qr[:, 3] << 6)).astype(np.int8)
 
     import jax.numpy as jnp
     rx._ingest_conv = ("i2", np.float32(delta))
