@@ -55,7 +55,25 @@ def cmd_detect(args) -> int:
     if args.devices:
         # sharded product path: psum/all_gather fusion over an
         # ('antenna', 'time') mesh — numerically identical to the
-        # single-device kernels (tests/test_sharded_detect.py)
+        # single-device kernels (tests/test_sharded_detect.py).
+        # Flags of the serial receiver pipeline don't apply here: reject
+        # loudly instead of silently ignoring them.
+        unsupported = [name for name, bad in [
+            ("--checkpoint", args.checkpoint),
+            ("--resume", args.resume),
+            ("--hold", args.hold),
+            ("--filter ekf", args.filter != "wls"),
+            ("--batch-receiver", args.batch_receiver),
+            ("--wire-bits", args.wire_bits != 8),
+            ("--no-receiver", args.no_receiver),
+            ("--no-localize", args.no_localize),
+            ("--telemetry-out", args.telemetry_out),
+            ("--positions", args.positions)] if bad]
+        if unsupported:
+            print("--devices runs the sharded power/PSD/acquisition/"
+                  f"TDOA analysis; not supported there: "
+                  f"{', '.join(unsupported)}", file=sys.stderr)
+            return 2
         from .runtime import sharded
         out = sharded.analyze_capture_sharded(
             args.files, n_devices=args.devices,
@@ -309,21 +327,23 @@ def cmd_serve(args) -> int:
     """Live web dashboard (the GUI layer, no Qt): idle landing page with
     the start/stop control surface, optionally auto-replaying an
     analysis of the given captures."""
-    import threading
-
     from .runtime import dashboard
     state = dashboard.DashboardState()
     ctl = dashboard.AnalysisController(state)
     srv = dashboard.make_server(state, port=args.port, controller=ctl)
     if args.files:
+        # route the auto-start THROUGH the controller, so the browser's
+        # stop button works on it and a second /control start is rejected
+        # while it runs (a bare thread would bypass the busy() gate)
         positions = _parse_positions(args.positions, len(args.files))
-        threading.Thread(
-            target=dashboard.replay_analysis,
-            args=(state, args.files),
-            kwargs=dict(system=args.system, max_seconds=args.max_seconds,
-                        realtime=args.realtime,
-                        antenna_positions=positions),
-            daemon=True).start()
+        ok, msg = ctl.start({
+            "files": list(args.files), "system": args.system,
+            "max_seconds": args.max_seconds,
+            "positions": [list(p) for p in positions],
+            "realtime": args.realtime})
+        if not ok:
+            print(f"auto-start failed: {msg}", file=sys.stderr)
+            return 2
     else:
         state.set_status("idle — start an analysis from the page "
                          "or POST /control")

@@ -188,9 +188,15 @@ def refine_doppler(xp, code_table: np.ndarray, lag_samples, doppler_hz,
     lag = jnp.asarray(lag_samples, jnp.int32)
     dopp = jnp.asarray(doppler_hz, jnp.float32)
 
-    # contiguous per-channel windows: vmapped dynamic_slice (clamped at
-    # the tail like take-with-clip) instead of an arbitrary-index gather
-    # — TPU gathers serialize and this was half the refine cost
+    # contiguous per-channel windows: vmapped dynamic_slice instead of an
+    # arbitrary-index gather (TPU gathers serialize; this was half the
+    # refine cost). The input is zero-padded by n_win so a lag near the
+    # capture tail keeps its window START at the acquired code boundary
+    # (dynamic_slice would otherwise clamp the start and misalign the
+    # code wipe-off for the whole window); the zero tail just shortens
+    # the effective integration, like the reference running out of data.
+    xp = cplx.apply(
+        lambda a: jnp.concatenate([a, jnp.zeros(n_win, a.dtype)]), xp)
     win = cplx.apply(
         lambda a: jax.vmap(
             lambda s: jax.lax.dynamic_slice(a, (s,), (n_win,)))(lag),

@@ -87,7 +87,11 @@ def acquire_all(blocks, sample_rate: float, cfg: AcquisitionConfig,
     rep = replica_table_host(sample_rate, n)
     n_groups = 2
     if method == "auto":
-        method = "pcf" if nb % n_groups == 0 else "std"
+        # the PCF grid's worst-case interior spacing is ~100 Hz (500 Hz
+        # sets + {-200,0,200} fine); a finer configured step means the
+        # caller wants the explicit grid — honor it via the direct path
+        method = ("pcf" if nb % n_groups == 0
+                  and cfg.doppler_step_hz >= 100.0 else "std")
     if method == "pcf":
         # factorized search (ops.caf.caf_accumulate_pcf_fdma): mixes only
         # (channel-sub-bin x set) rows instead of all 14x71 frequency

@@ -31,6 +31,7 @@ an idle landing page whose form starts analyses of server-local files.
 from __future__ import annotations
 
 import json
+import math
 import threading
 from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -135,6 +136,19 @@ class AnalysisController:
         sysname = params.get("system", "gps")
         if sysname not in ("gps", "glonass", "galileo"):
             return False, f"unknown system {sysname!r}"
+        pos = params.get("positions")
+        if pos is not None:
+            try:
+                pos = [(float(x), float(y)) for x, y in pos]
+            except (TypeError, ValueError):
+                # a malformed form entry (JS NaN -> JSON null) must be a
+                # clean 409, not a post-reset server-side TypeError
+                return False, ("positions: need [[x, y], ...] numeric "
+                               "meters")
+            if any(not (math.isfinite(x) and math.isfinite(y))
+                   for x, y in pos):
+                return False, "positions: non-finite coordinate"
+            params = dict(params, positions=pos)
         self.last_params = dict(params)
         self._stop.clear()
         self.state.reset()
@@ -171,6 +185,7 @@ class AnalysisController:
                 hold=bool(params.get("hold", False)),
                 run_receiver=bool(params.get("receiver", True)),
                 sample_rate=params.get("sample_rate"),
+                realtime=bool(params.get("realtime", False)),
                 stop_event=self._stop,
                 emit_every_s=float(params.get("emit_every_s", 8.0)))
         except AnalysisStopped:
@@ -320,6 +335,11 @@ async function tick(){
    `ranges: ${t.distances.map(d=>d.toFixed(1)).join(' / ')} m · `+
    `${t.num_antennas} antennas`;
   if(map){
+   // a fresh /control run reset the server state: drop stale markers
+   if(evms.length>s.events.length){
+    evms.forEach(m=>m&&map.removeLayer(m));evms=[];
+    if(jamStar){map.removeLayer(jamStar);jamStar=null;}
+   }
    track.setLatLngs(s.track);
    if(s.track.length){
     const last=s.track[s.track.length-1];

@@ -436,6 +436,11 @@ class StreamingReceiver:
         else:
             raise ValueError(
                 f"wire_bits must be 8, 4 or 2, got {wire_bits}")
+        if wire_bits != 8 and W % (8 // wire_bits):
+            raise ValueError(
+                f"wire_bits={wire_bits} needs the segment window "
+                f"({W} samples) divisible by {8 // wire_bits}; use "
+                f"wire_bits=8 for this sample rate / segment length")
         if conv != self._ingest_conv:
             # the conversion constants are baked into the traced fns —
             # re-wrap the jits when a reused receiver switches convention
@@ -503,6 +508,10 @@ class StreamingReceiver:
             return self._process_core(get_window, n_seg, verbose,
                                       segment_cb=segment_cb, ckpt=ckpt)
         finally:
+            # drain the single IO worker before closing: an in-flight
+            # get_window (e.g. after a segment_cb abort) must not race a
+            # closed native reader handle
+            self._io_pool.submit(lambda: None).result()
             reader.close()
 
     def _process_core(self, get_window, n_seg: int,
@@ -828,6 +837,9 @@ class StreamingReceiver:
                         slot_next[s] = int(abs_lag[j])
                         slot_birth[s] = seg_ep
                         slot_bad[s] = 0
+                        slot_obs_end[s] = -1   # fresh decode horizon: the
+                        # previous occupant's must not make the new sat
+                        # instantly "obs_stale" before its nodecode grace
                         tab[s] = t2[j]
                         if c2 is not None:
                             carr[s] = c2[j]
@@ -911,6 +923,7 @@ class StreamingReceiver:
                     log(f"[seg {seg}] reset slot {s} "
                         f"(sat {slot_sat[s]}, med cn0 {med:.1f})")
                     slot_sat[s] = 0
+                    slot_obs_end[s] = -1
                     close(s, trim_epochs=int(slot_bad[s])
                           * self.seg_epochs)
                     acq_next_seg = seg + 1     # search freed slot now

@@ -32,10 +32,14 @@ SLICE_LEN = 4096                   # TDOA xcorr slice per antenna
 
 
 def _load_planar(path: str, n: int) -> cplx.CArray:
-    """uint8 interleaved file -> centered planar float32 (host)."""
-    raw = np.fromfile(path, dtype=np.uint8, count=2 * n)
-    f = raw.astype(np.float32) - 127.5
-    return cplx.CArray(f[0::2].copy(), f[1::2].copy())
+    """uint8 interleaved file -> centered planar float32 (host).
+
+    Delegates the centering contract to ops.iq.read_iq_file so the
+    -127.5 convention lives in exactly one place."""
+    from ..ops import iq as iq_ops
+    x = iq_ops.read_iq_file(path, convention="centered", count=2 * n)
+    return cplx.CArray(np.ascontiguousarray(x.real.astype(np.float32)),
+                       np.ascontiguousarray(x.imag.astype(np.float32)))
 
 
 def analyze_capture_sharded(paths, n_devices: int | None = None,
@@ -128,7 +132,6 @@ def analyze_capture_sharded(paths, n_devices: int | None = None,
             for i in range(n_ant):
                 flat = surf[i].reshape(surf.shape[1], -1)
                 peak = flat.max(axis=-1)
-                second = np.partition(flat, -2, axis=-1)[:, -2]
                 order = np.argsort(-peak)[:4]
                 acq.append([
                     {"prn": int(pr) + 1,
@@ -136,7 +139,6 @@ def analyze_capture_sharded(paths, n_devices: int | None = None,
                      "doppler_hz": float(
                          dopp[flat[pr].argmax() // surf.shape[-1]])}
                     for pr in order])
-            del second
 
     # --- sharded all-pairs TDOA xcorr at the first onset -----------------
     tdoa = None

@@ -261,3 +261,24 @@ def test_wire4_file_path_still_fixes(tmp_path):
             for f in res.fixes if f.valid]
     assert errs, "no fixes through the 4-bit wire"
     assert np.median(errs) < 35.0, np.median(errs)
+
+
+def test_obs_horizon_cleared_on_cn0_reset_and_reassign():
+    """Regression: a slot freed by the C/N0 reset and re-acquired must
+    NOT inherit the previous occupant's decode horizon — the old
+    satellite's last-obs epoch would make the new one instantly
+    'obs_stale' before its own nodecode grace."""
+    rx = _mk_rx(reset_cn0_dbhz=1e9,        # every aged segment is "bad"
+                grace_segments=7,          # ...so ONE reset at ~seg 8
+                reset_obs_stale_s=0.25,    # hair-trigger staleness
+                reset_nodecode_s=1e9)
+    obs = _FakeObs(_eph())
+    # first interval (start_epoch 0) decodes -> slot_obs_end set;
+    # every re-acquired interval decodes nothing
+    rx._build_obs = lambda iv, n_use: obs if iv.start_epoch == 0 else None
+    res = rx.process(_noise(4.0))
+    spans = _span_ends(res)
+    assert len(spans) == 2, spans          # one C/N0 reset, one re-acquire
+    assert spans[1][2] == res.cn0_epochs.size, \
+        ("re-acquired slot was killed by a stale-obs horizon inherited "
+         "from the previous occupant", spans)
