@@ -159,20 +159,31 @@ def _receiver_rows():
     import os
     if os.environ.get("GPS_JAMMING_TPU_BENCH_NO_RECEIVER"):
         return {}
+    import threading
     out = {}
-    try:
-        from gps_jamming_tpu.runtime import benchmarks as B
-        for system in ("gps", "glonass"):
-            r = B.receiver_chain(system, seconds=12.0, segment_s=4.0)
-            out[f"receiver_track_msps_{system}"] = \
-                float(r["track_msamples_per_s"])
-            out[f"receiver_track_realtime_{system}"] = \
-                float(r["track_realtime_x"])
-            out[f"receiver_e2e_realtime_{system}"] = \
-                float(r["e2e_realtime_x"])
-    except Exception:
-        pass
-    return out
+    budget_s = float(os.environ.get("GPS_JAMMING_TPU_BENCH_RX_BUDGET_S",
+                                    "1200"))
+
+    def work():
+        try:
+            from gps_jamming_tpu.runtime import benchmarks as B
+            for system in ("gps", "glonass"):
+                r = B.receiver_chain(system, seconds=12.0, segment_s=4.0)
+                out[f"receiver_track_msps_{system}"] = \
+                    float(r["track_msamples_per_s"])
+                out[f"receiver_track_realtime_{system}"] = \
+                    float(r["track_realtime_x"])
+                out[f"receiver_e2e_realtime_{system}"] = \
+                    float(r["e2e_realtime_x"])
+        except Exception:
+            pass
+
+    # watchdog: a cold remote compile can take many minutes; the
+    # flagship metric must print even if the receiver rows overrun
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(budget_s)
+    return dict(out)
 
 
 def main():
