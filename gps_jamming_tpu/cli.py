@@ -22,6 +22,11 @@ import sys
 import numpy as np
 
 
+def _wire_bits(s: str):
+    """argparse type for --wire-bits: 'auto' or an int width."""
+    return s if s == "auto" else int(s)
+
+
 def _parse_positions(spec: str | None, n: int):
     """--positions "x1,y1;x2,y2;..." -> [(x, y), ...]."""
     if spec is None:
@@ -64,7 +69,7 @@ def cmd_detect(args) -> int:
             ("--hold", args.hold),
             ("--filter ekf", args.filter != "wls"),
             ("--batch-receiver", args.batch_receiver),
-            ("--wire-bits", args.wire_bits != 8),
+            ("--wire-bits", args.wire_bits != "auto"),
             ("--no-receiver", args.no_receiver),
             ("--no-localize", args.no_localize),
             ("--telemetry-out", args.telemetry_out),
@@ -569,11 +574,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the acquire-once whole-capture receiver "
                         "instead of the default self-healing streaming "
                         "receiver (short clean captures only)")
-    d.add_argument("--wire-bits", type=int, default=8, choices=[8, 4, 2],
+    d.add_argument("--wire-bits", type=_wire_bits, default="auto",
+                   choices=["auto", 8, 4, 2, 1],
                    help="receiver upload width: 4 = two 4-bit samples "
                         "per byte (~0.14 dB C/N0 cost), 2 = four 2-bit "
                         "samples per byte (classic 4-level GNSS "
-                        "quantizer, ~0.55 dB) — for upload-bound links")
+                        "quantizer, ~0.55 dB), 1 = sign bits (~1.96 dB) "
+                        "— for upload-bound links; auto = 2 when the "
+                        "raw byte rate exceeds 10 MB/s (GLONASS), "
+                        "else 8")
     d.add_argument("--checkpoint",
                    help="persist the whole detect state here (power "
                         "profile + receiver segments + emission cursor); "
@@ -726,10 +735,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--resume", action="store_true",
                    help="restore --checkpoint state and continue; the "
                         "result equals the uninterrupted run exactly")
-    r.add_argument("--wire-bits", type=int, default=8, choices=[8, 4, 2],
+    r.add_argument("--wire-bits", type=_wire_bits, default="auto",
+                   choices=["auto", 8, 4, 2, 1],
                    help="with --streaming: upload width (4 = packed "
                         "nibbles ~0.14 dB; 2 = 4-level quantizer "
-                        "~0.55 dB C/N0 cost)")
+                        "~0.55 dB; 1 = sign bits ~1.96 dB C/N0 cost; "
+                        "auto = 2 for >10 MB/s raw rates, else 8)")
     r.add_argument("--filter", default="wls", choices=["wls", "ekf"],
                    help="PVT filter: wls (blsFilter parity) or ekf — "
                         "the 8-state coasting EKF the reference reserves "

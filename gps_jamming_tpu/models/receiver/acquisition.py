@@ -89,16 +89,41 @@ def acquire_all(blocks, replica_fft_conj,
             int(n), int(nb), float(sample_rate),
             float(cfg.doppler_max_hz), int(nf)) else "std"
     if method == "pcf":
-        surf = caf_ops.caf_accumulate_pcf(blocks, replica_fft_conj,
-                                          sample_rate,
-                                          max_doppler_hz=cfg.doppler_max_hz)
-        freqs = jnp.asarray(caf_ops.pcf_doppler_hz(
-            sample_rate, surf.shape[-1], cfg.doppler_max_hz))
         # C/N0 normalization: the PCF surface sums blocks COHERENTLY in
         # groups of gl code periods, so peak/mean carries a factor gl the
         # non-coherent surface lacks; the effective coherent integration
         # time is gl * Tcode (peak ~ G*(gl*A)^2 vs noise ~ G*gl*sigma^2).
         gl = blocks.shape[-2] // 2
+        n = blocks.shape[-1]
+        rep = replica_fft_conj
+        if (jax.default_backend() == "tpu"
+                and isinstance(rep, cplx.CArray)
+                and isinstance(rep.re, np.ndarray)):
+            from ...ops import pallas_caf
+            nprn = rep.re.shape[0]
+            if pallas_caf.pcf_stats_supported(
+                    int(n), nprn, float(cfg.doppler_max_hz),
+                    float(sample_rate)):
+                # in-kernel stats reduction: the delay x Doppler surface
+                # never leaves VMEM; checkacquisition's peak / excluded
+                # second peak / excluded mean arrive pre-reduced
+                nsampchip = max(int(round(n / code_len_chips)), 1)
+                excl = int(cfg.exclude_chips * nsampchip)
+                stats = pallas_caf.caf_accumulate_pcf_fused(
+                    blocks, rep, sample_rate,
+                    max_doppler_hz=cfg.doppler_max_hz,
+                    precision=caf_ops.resolve_acq_precision(None, "v3"),
+                    stats_excl=excl)
+                freqs = jnp.asarray(caf_ops.pcf_doppler_hz(
+                    sample_rate, int(n), cfg.doppler_max_hz))
+                return acquisition_test_from_stats(
+                    stats, freqs, int(n), cfg,
+                    code_period_s * max(gl, 1), code_len_chips)
+        surf = caf_ops.caf_accumulate_pcf(blocks, replica_fft_conj,
+                                          sample_rate,
+                                          max_doppler_hz=cfg.doppler_max_hz)
+        freqs = jnp.asarray(caf_ops.pcf_doppler_hz(
+            sample_rate, surf.shape[-1], cfg.doppler_max_hz))
         return acquisition_test(surf, freqs, sample_rate, cfg,
                                 code_period_s * max(gl, 1),
                                 code_len_chips)
@@ -142,6 +167,45 @@ def acquisition_test(surf: jax.Array, freqs: jax.Array, sample_rate: float,
     return AcquisitionResult(
         acquired=ratio > cfg.peak_ratio_threshold,
         code_phase=code_i.astype(jnp.int32),
+        doppler_hz=jnp.take(freqs, freq_i),
+        peak_ratio=ratio,
+        cn0_dbhz=cn0,
+        peak_power=peak,
+    )
+
+
+def acquisition_test_from_stats(stats, freqs: jax.Array, n: int,
+                                cfg: AcquisitionConfig,
+                                code_period_s: float,
+                                code_len_chips: float
+                                = 1023.0) -> AcquisitionResult:
+    """`acquisition_test` from pre-reduced per-(PRN, Doppler-row) stats.
+
+    stats: the (max, arglag, excluded_max, total_sum, window_sum)
+    5-tuple of `pallas_caf.caf_accumulate_pcf_fused(stats_excl=...)`,
+    each (n_prn, n_rows). Row/lag tie-breaking matches the surface
+    `acquisition_test` (lowest flat index), and the excluded mean uses
+    the same circular-window count as `corr.mean_excluded`, so the two
+    paths agree on identical inputs (tests/test_pallas_caf.py)."""
+    max1, arg1, exmax, tot, wsum = stats
+    nsampchip = max(int(round(n / code_len_chips)), 1)
+    excl = int(cfg.exclude_chips * nsampchip)
+    freq_i = jnp.argmax(max1, axis=-1)
+
+    def take(a):
+        return jnp.take_along_axis(a, freq_i[:, None], axis=-1)[:, 0]
+
+    peak = take(max1)
+    code_i = take(arg1).astype(jnp.int32)
+    second = take(exmax)
+    keep = max(n - (2 * excl + 1), 1)
+    mean = (take(tot) - take(wsum)) / keep
+    ratio = peak / jnp.maximum(second, 1e-30)
+    cn0 = 10.0 * jnp.log10(peak / jnp.maximum(mean, 1e-30)
+                           / code_period_s)
+    return AcquisitionResult(
+        acquired=ratio > cfg.peak_ratio_threshold,
+        code_phase=code_i,
         doppler_hz=jnp.take(freqs, freq_i),
         peak_ratio=ratio,
         cn0_dbhz=cn0,

@@ -172,6 +172,48 @@ void rdr_release(void* h) {
 int64_t rdr_halo(void* h) { return ((Reader*)h)->halo; }
 int64_t rdr_block(void* h) { return ((Reader*)h)->block; }
 
+// Quantize + bit-pack `n_planes` contiguous int8 planes of `w` samples
+// each into the BLOCK wire layout the device-side unpack expects
+// (rx_stream._ingest: byte j of a plane carries samples {j + k*w*bits/8}
+// — unpack is a pure concatenation of shifted planes, no interleave).
+// lut is a 256-entry int8 quantizer table indexed by the raw byte's
+// uint8 reinterpretation (the same `lut[w.view(uint8)]` contract as the
+// numpy path). bits in {4, 2, 1}. One fused pass, no numpy temporaries,
+// GIL-free under ctypes — the host pack drops off the IO worker's
+// critical path at GLONASS rates (~80 MB windows).
+void rdr_quantpack(const int8_t* in, int64_t n_planes, int64_t w,
+                   const int8_t* lut, int bits, int8_t* out) {
+  const int64_t ob = w * bits / 8;             // packed bytes per plane
+  for (int64_t p = 0; p < n_planes; ++p) {
+    const int8_t* src = in + p * w;
+    int8_t* dst = out + p * ob;
+    if (bits == 4) {
+      const int64_t h = w / 2;
+      for (int64_t j = 0; j < h; ++j) {
+        const int8_t lo = lut[(uint8_t)src[j]];
+        const int8_t hi = lut[(uint8_t)src[h + j]];
+        dst[j] = (int8_t)((lo & 15) | (hi << 4));
+      }
+    } else if (bits == 2) {
+      const int64_t q = w / 4;
+      for (int64_t j = 0; j < q; ++j) {
+        dst[j] = (int8_t)((lut[(uint8_t)src[j]] & 3)
+                          | ((lut[(uint8_t)src[q + j]] & 3) << 2)
+                          | ((lut[(uint8_t)src[2 * q + j]] & 3) << 4)
+                          | (lut[(uint8_t)src[3 * q + j]] << 6));
+      }
+    } else {  // bits == 1: eight sign bits per byte
+      const int64_t e = w / 8;
+      for (int64_t j = 0; j < e; ++j) {
+        int v = 0;
+        for (int k = 0; k < 8; ++k)
+          v |= (lut[(uint8_t)src[k * e + j]] & 1) << k;
+        dst[j] = (int8_t)v;
+      }
+    }
+  }
+}
+
 void rdr_close(void* h) {
   Reader* r = (Reader*)h;
   r->stop.store(true);

@@ -59,12 +59,46 @@ def _load():
                                  ctypes.POINTER(ctypes.c_int64)]
         lib.rdr_release.argtypes = [ctypes.c_void_p]
         lib.rdr_close.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "rdr_quantpack"):
+            lib.rdr_quantpack.restype = None
+            lib.rdr_quantpack.argtypes = [
+                ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int8),
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int8)]
         _LIB = lib
         return _LIB
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def quantpack_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "rdr_quantpack")
+
+
+def quantpack(w: np.ndarray, lut: np.ndarray, bits: int) -> np.ndarray:
+    """Fused quantize + bit-pack of planar int8 planes (C++, GIL-free).
+
+    w: (n_planes, W) contiguous int8; lut: 256-entry int8 quantizer
+    indexed by the raw byte's uint8 value; bits in {4, 2, 1}. Returns
+    (n_planes, W*bits//8) int8 in the BLOCK wire layout rx_stream's
+    device unpack expects. Must only be called when
+    quantpack_available(); the numpy path is the fallback.
+    """
+    lib = _load()
+    n_planes, width = w.shape
+    assert w.dtype == np.int8 and w.flags.c_contiguous
+    out = np.empty((n_planes, width * bits // 8), np.int8)
+    lib.rdr_quantpack(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int64(n_planes), ctypes.c_int64(width),
+        np.ascontiguousarray(lut, np.int8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int8)),
+        ctypes.c_int(bits),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return out
 
 
 class CaptureReader:

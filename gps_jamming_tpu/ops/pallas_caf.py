@@ -713,7 +713,8 @@ def permute_replica_v3_jnp(rep_re, rep_im, n1: int, n2: int,
 
 
 def _make_kernel_v3(precision: str, n1: int, n2: int, cp: int,
-                    block_axis: int = 1, n_blocks: int | None = None):
+                    block_axis: int = 1, n_blocks: int | None = None,
+                    stats_excl: int | None = None):
     """block_axis: which grid axis is the accumulate-over-blocks axis
     (1 for the classic (freq, block) grid; 2 for the single-launch PCF
     (row, chunk, block) grid — it must be the INNERMOST axis so the
@@ -726,7 +727,17 @@ def _make_kernel_v3(precision: str, n1: int, n2: int, cp: int,
     final surface needs only major-axis moves (contiguous n-length rows)
     instead of a minor-dim relayout of the whole surface. One (n2, cm)
     VMEM transpose per output tile replaces an HBM round trip of the
-    full surface through an XLA transpose (the r4 CAF epilogue cost)."""
+    full surface through an XLA transpose (the r4 CAF epilogue cost).
+
+    stats_excl (requires n_blocks): instead of the surface, the last
+    block step REDUCES the accumulated (n2, cm) tile to per-channel
+    acquisition statistics — peak, peak lag, second peak outside a
+    circular +/-stats_excl-sample window (checkacquisition's exclusion,
+    sdracq.c:52-68), total sum and window sum — and stores an 8-row
+    (8, cp) stats tile. The full delay x Doppler surface then NEVER
+    leaves VMEM: output HBM traffic drops from the whole surface
+    (~24 MB for the GPS search) to ~100 KB, and the XLA-side
+    `acquisition_test` reductions disappear with it."""
     from jax.experimental import pallas as pl
 
     if precision == "bf16":
@@ -812,9 +823,99 @@ def _make_kernel_v3(precision: str, n1: int, n2: int, cp: int,
         def _():
             acc[:] = acc[:] + p[0]
 
+        if stats_excl is None:
+            @pl.when(b == n_blocks - 1)
+            def _():
+                out_ref[0] = jnp.swapaxes(acc[:], 0, 1)    # ((c, t1), t2)
+            return
+
+        n = n1 * n2
+        cm = cp * n1
+        # Mosaic supports lane rotates + sublane reductions but NOT
+        # vector reshapes that regroup lanes — so every reduction below
+        # stays in (n2, cm)/(1, cm) shapes: sublane (t2) reductions
+        # first, then SEGMENTED lane reductions over each channel's n1
+        # consecutive lanes via log2(n1) roll-trees. Channel results
+        # land on the group-lead lane (ch*n1); the launcher selects
+        # them outside the kernel (a tiny strided slice in XLA).
+        shifts = []
+        k = 1
+        while k < n1:
+            shifts.append(k)
+            k *= 2
+        assert k == n1, f"n1 {n1} must be a power of two for stats mode"
+
+        def seg_max(v):
+            for s in shifts:
+                v = jnp.maximum(v, jnp.roll(v, -s, axis=1))
+            return v
+
+        def seg_max_arg(v, a):
+            for s in shifts:
+                vr = jnp.roll(v, -s, axis=1)
+                ar = jnp.roll(a, -s, axis=1)
+                take = vr > v                  # ties keep the lower t1
+                v = jnp.maximum(v, vr)
+                a = jnp.where(take, ar, a)
+            return v, a
+
+        def seg_sum(v):
+            for s in shifts:
+                v = v + jnp.roll(v, -s, axis=1)
+            return v
+
+        def seg_bcast(v, lane_off):
+            # v valid at group-lead lanes -> broadcast to all n1 lanes
+            # (prefix doubling: after step s, offsets < 2s are filled)
+            for s in shifts:
+                v = jnp.where(lane_off >= s,
+                              jnp.roll(v, s, axis=1), v)
+            return v
+
+        # n1 is a power of two (asserted above); n, n2 power-of-two lets
+        # the circular-lag arithmetic use AND masks instead of integer
+        # modulo (a real VPU cost at (n2, cm) scale)
+        pow2 = (n & (n - 1)) == 0 and (n2 & (n2 - 1)) == 0
+
         @pl.when(b == n_blocks - 1)
         def _():
-            out_ref[0] = jnp.swapaxes(acc[:], 0, 1)    # ((c, t1), t2)
+            A = acc[:]                                     # (n2, cm)
+            # element (t2, ch*n1 + t1) holds lag t = n2*t1 + t2 of
+            # channel ch
+            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, cm), 1)
+            lane_off = lane1 & (n1 - 1)                    # t1 per lane
+            t1_l = jax.lax.broadcasted_iota(jnp.int32, (n2, cm), 1)
+            t1_l = t1_l & (n1 - 1) if pow2 else t1_l % n1
+            t2_l = jax.lax.broadcasted_iota(jnp.int32, (n2, cm), 0)
+            lag = n2 * t1_l + t2_l
+            # per-lane max / lag-argmax over t2 (lowest-t2 tie-break)
+            m_lane = jnp.max(A, axis=0, keepdims=True)     # (1, cm)
+            a_lane = jnp.min(jnp.where(A == m_lane, lag, n),
+                             axis=0, keepdims=True)
+            # channel max + argmax at the group-lead lane
+            max1, arg1 = seg_max_arg(m_lane, a_lane)
+            zero = jnp.zeros_like(max1)
+            if stats_excl < 0:
+                # peak-only mode: the detection statistic alone (the
+                # flagship chain's per-PRN peak) — no exclusion passes
+                out_ref[0] = jnp.concatenate(
+                    [max1, arg1.astype(jnp.float32), zero, zero, zero,
+                     zero, zero, zero], axis=0)            # (8, cm)
+                return
+            # circular +/-excl window around the channel peak
+            argb = seg_bcast(arg1, lane_off)               # (1, cm)
+            d0 = lag - argb + n
+            d0 = d0 & (n - 1) if pow2 else d0 % n
+            dist = jnp.minimum(d0, n - d0)
+            ex = dist <= stats_excl
+            exmax = seg_max(jnp.max(jnp.where(ex, -jnp.inf, A),
+                                    axis=0, keepdims=True))
+            wsum = seg_sum(jnp.sum(jnp.where(ex, A, 0.0),
+                                   axis=0, keepdims=True))
+            tot = seg_sum(jnp.sum(A, axis=0, keepdims=True))
+            out_ref[0] = jnp.concatenate(
+                [max1, arg1.astype(jnp.float32), exmax, tot, wsum,
+                 zero, zero, zero], axis=0)                # (8, cm)
 
     return kernel
 
@@ -952,6 +1053,18 @@ def supported_pcf(n: int, n_prn: int) -> bool:
     return factorization_v3(n) is not None and supported_v3(n, n_prn)
 
 
+def pcf_stats_supported(n: int, n_prn: int, max_doppler_hz: float,
+                        sample_rate: float) -> bool:
+    """True when the in-kernel stats reduction is available: the fused
+    PCF must take the single-launch path (host-precomputed coarse-shifted
+    replicas within the inline-constant cap)."""
+    if not supported_pcf(n, n_prn):
+        return False
+    bin_hz = sample_rate / n
+    n_c = 2 * int(np.floor(max_doppler_hz / bin_hz)) + 1
+    return n_prn * n_c * n * 8 <= PCF_HOST_REPLICA_MAX_BYTES
+
+
 # Above this, the PCF coarse-shifted replica table is gathered in-trace
 # from one natural-order constant instead of being host-precomputed and
 # inlined into the program (tests monkeypatch it to force the gather path)
@@ -970,13 +1083,25 @@ def caf_accumulate_pcf_fused(blocks, replica_fft_conj, sample_rate: float,
                              fine_hz=(-200.0, 0.0, 200.0),
                              n_groups: int = 2, *,
                              precision: str = "bf16",
-                             interpret: bool | None = None) -> jax.Array:
+                             interpret: bool | None = None,
+                             stats_excl: int | None = None):
     """Fused post-correlation-FFT acquisition surface.
 
     Same contract as `ops.caf.caf_accumulate_pcf` (returns
     (n_prn, n_coarse*n_sets*n_fine, n) with Doppler axis ordered
     (coarse, set, fine)); evaluated as n_sets*n_fine v3-kernel calls over
     coarse-chunked shifted replicas.
+
+    stats_excl (single-launch path only — requires
+    `pcf_stats_supported`): reduce the surface to per-(PRN, Doppler-row)
+    acquisition statistics INSIDE the kernel and return the 5-tuple
+    (max, arglag, excluded_max, total_sum, window_sum), each
+    (n_prn, n_coarse*n_sets*n_fine) float32, where the exclusion is the
+    circular +/-stats_excl-sample window of `checkacquisition`
+    (sdracq.c:52-68). stats_excl=-1 is PEAK-ONLY mode: just (max,
+    arglag) live, the three exclusion rows are zeros — the cheapest
+    reduction for callers that only need the detection statistic. The
+    surface never reaches HBM either way.
     """
     x = cplx.asarray(blocks)
     nb, n = x.shape
@@ -1059,7 +1184,12 @@ def caf_accumulate_pcf_fused(blocks, replica_fft_conj, sample_rate: float,
         return _pcf_single_launch(
             cplx.CArray(yr, yi), chunks, rep_re, rep_im, k_idx,
             sample_rate, n_sets, nF, n_groups, n_c, nprn, n,
-            precision=precision, interpret=interpret)
+            precision=precision, interpret=interpret,
+            stats_excl=stats_excl)
+    if stats_excl is not None:
+        raise ValueError(
+            "stats_excl needs the single-launch PCF path; check "
+            "pcf_stats_supported() before requesting stats")
     rows = []
     for s in range(n_sets):
         for f in range(nF):
@@ -1078,7 +1208,8 @@ def caf_accumulate_pcf_fused(blocks, replica_fft_conj, sample_rate: float,
 
 def _pcf_single_launch(y, chunks, rep_re, rep_im, k_idx, sample_rate,
                        n_sets, nF, n_groups, n_c, nprn, n, *,
-                       precision: str, interpret: bool | None):
+                       precision: str, interpret: bool | None,
+                       stats_excl: int | None = None):
     """One pallas_call for the whole PCF surface.
 
     y: (S, F, G, n) combined coherent-group signals (planar CArray).
@@ -1122,8 +1253,10 @@ def _pcf_single_launch(y, chunks, rep_re, rep_im, k_idx, sample_rate,
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
+    cmaj_store = PCF_CHANNEL_MAJOR_STORE or stats_excl is not None
     kern = _make_kernel_v3(precision, n1, n2, cp, block_axis=2,
-                           n_blocks=G if PCF_CHANNEL_MAJOR_STORE else None)
+                           n_blocks=G if cmaj_store else None,
+                           stats_excl=stats_excl)
 
     def spec(shape, index_map):
         return pl.BlockSpec(shape, index_map)
@@ -1153,8 +1286,12 @@ def _pcf_single_launch(y, chunks, rep_re, rep_im, k_idx, sample_rate,
         spec((_LANE, _LANE), lambda c, r, b: (0, 0)),           # kron
         spec((_LANE, _LANE), lambda c, r, b: (0, 0)),
     ]
-    cmaj = PCF_CHANNEL_MAJOR_STORE
-    if cmaj:
+    cmaj = cmaj_store
+    if stats_excl is not None:
+        out_spec = spec((1, 8, cm), lambda c, r, b: (r * C + c, 0, 0))
+        out_sds = jax.ShapeDtypeStruct((R * C, 8, cm), jnp.float32)
+        kwargs = {"scratch_shapes": [pltpu.VMEM((n2, cm), jnp.float32)]}
+    elif cmaj:
         out_spec = spec((1, cm, n2), lambda c, r, b: (r * C + c, 0, 0))
         out_sds = jax.ShapeDtypeStruct((R * C, cm, n2), jnp.float32)
         kwargs = {"scratch_shapes": [pltpu.VMEM((n2, cm), jnp.float32)]}
@@ -1182,6 +1319,20 @@ def _pcf_single_launch(y, chunks, rep_re, rep_im, k_idx, sample_rate,
       jnp.asarray(k["d2iT"][0]), jnp.asarray(k["d2iT"][1]),
       jnp.asarray(k["ttile"][0]), jnp.asarray(k["ttile"][1]),
       jnp.asarray(k["g"][0]), jnp.asarray(k["g"][1]))
+
+    if stats_excl is not None:
+        # (R*C, 8, cm) per-LANE stats tiles; channel values sit on the
+        # group-lead lanes (ch*n1) -> strided select, then reorder to
+        # (5, nprn, n_c*R) with the row axis ordered exactly like the
+        # surface's axis 1 ((coarse, set, fine) = row index c_i*R + r)
+        st = out.reshape(R, C, 8, cp, n1)[:, :, :, : nprn * L, 0]
+        st = st.reshape(R, C, 8, nprn, L)
+        per_chunk = [st[:, ci, :, :, : len(ch)]
+                     for ci, ch in enumerate(chunks)]
+        st = jnp.concatenate(per_chunk, axis=-1)      # (R, 8, P, n_c)
+        st = jnp.transpose(st, (1, 2, 3, 0))          # (8, P, n_c, R)
+        st = st.reshape(8, nprn, n_c * R)
+        return (st[0], st[1], st[2], st[3], st[4])
 
     if cmaj:
         # channel-major tiles ((c, t1), t2): the de-permute below moves

@@ -139,7 +139,7 @@ def _bench_capture(system: str, seconds: float, seed: int = 5):
 
 
 def receiver_chain(system: str = "gps", seconds: float = 6.0,
-                   segment_s: float = 2.0, wire_bits: int = 8,
+                   segment_s: float = 2.0, wire_bits: int | str = "auto",
                    n_slots: int | None = None) -> dict:
     """Receiver-chain throughput for one constellation (VERDICT r3 item 3).
 
@@ -207,7 +207,10 @@ def receiver_chain(system: str = "gps", seconds: float = 6.0,
         "system": system, "sample_rate_hz": fs,
         "capture_s": round(n / fs, 2),
         "processed_s": round(n_used / fs, 2),
-        "n_slots": rx.n_slots, "wire_bits": wire_bits,
+        "n_slots": rx.n_slots,
+        # resolved width (an "auto" request records what it picked)
+        "wire_bits": {"i8": 8, "i4": 4, "i2": 2,
+                      "i1": 1}[rx._ingest_conv[0]],
         "e2e_wall_s": round(wall, 3),
         "e2e_msamples_per_s": round(n_used / wall / 1e6, 2),
         "e2e_realtime_x": round(n_used / fs / wall, 2),

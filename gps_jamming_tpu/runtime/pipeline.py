@@ -311,7 +311,7 @@ def analyze_capture(paths: Sequence[str],
                     segment_s: float = 4.0,
                     sink=None,
                     emit_every_s: float = 8.0,
-                    wire_bits: int = 8,
+                    wire_bits: int | str = "auto",
                     checkpoint_path: str | None = None,
                     checkpoint_every_s: float = 60.0,
                     resume: bool = False) -> AnalysisResult:
@@ -345,7 +345,9 @@ def analyze_capture(paths: Sequence[str],
     record as produced, sdrout.c:10-57; the serve dashboard shows
     position/flags advancing mid-analysis). The returned AnalysisResult
     still carries the authoritative full record log.
-    wire_bits: 8 or 4 — upload width of the streamed receiver windows
+    wire_bits: "auto" (default), 8, 4, 2 or 1 — upload width of the
+    streamed receiver windows; auto resolves to 2-bit packing for raw
+    rates above 10 MB/s (GLONASS) and lossless 8-bit otherwise
     (see StreamingReceiver.process_file).
     checkpoint_path (streaming only): persist the WHOLE product path —
     power-scan profile + F1 ranges, the receiver's segment state

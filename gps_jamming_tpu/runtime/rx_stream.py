@@ -256,6 +256,18 @@ class StreamingReceiver:
                 return (2.0 * v.astype(jnp.float32) + 1.0) * delta
 
             return cplx.CArray(unpack(x.re), unpack(x.im))
+        if self._ingest_conv[0] == "i1":
+            # eight sign bits per byte, levels (2q+1)*delta with
+            # q in {-1, 0} -> +/-delta (1-bit sign quantizer, ~1.96 dB)
+            delta = self._ingest_conv[1]
+
+            def unpack(b):
+                fs_ = [jnp.right_shift(jnp.left_shift(b, 7 - k), 7)
+                       for k in range(8)]
+                v = jnp.concatenate(fs_)
+                return (2.0 * v.astype(jnp.float32) + 1.0) * delta
+
+            return cplx.CArray(unpack(x.re), unpack(x.im))
         _, off, scale = self._ingest_conv
         return cplx.CArray((x.re.astype(jnp.float32) + off) * scale,
                            (x.im.astype(jnp.float32) + off) * scale)
@@ -375,8 +387,17 @@ class StreamingReceiver:
         (a tunneled runtime at ~30 MB/s cannot sustain GLONASS's 20 MB/s
         raw rate at 2x realtime in 8-bit). Quantization maps +/-2.5
         sigma of the first block onto the 16 levels (~0.14 dB C/N0
-        cost); the power pre-scan / localization paths read the file
-        directly and are unaffected.
+        cost); 2 is the classic 4-level GNSS quantizer (~0.55 dB) at a
+        quarter of the bytes; 1 is the sign quantizer (~1.96 dB) at an
+        eighth — jamming-monitor links where transfer, not sensitivity,
+        is the constraint. "auto" picks 2 when the capture's raw byte
+        rate exceeds 10 MB/s (GLONASS at 10 MS/s) and 8 otherwise
+        (GPS/Galileo, where the upload is already a small fraction of
+        the segment budget). The quantize+pack runs as one fused
+        GIL-free C++ pass on the IO worker when the native reader is
+        built (native/capture_reader.cpp rdr_quantpack; numpy
+        fallback otherwise). The power pre-scan / localization paths
+        read the file directly and are unaffected.
         """
         import pickle
 
@@ -411,8 +432,13 @@ class StreamingReceiver:
             off, scale = 0.5, 1.0 / 127.5
         else:
             raise ValueError(f"unknown convention {convention!r}")
+        if wire_bits == "auto":
+            # transfer-bound links: only GLONASS's 20 MB/s raw rate
+            # outruns a tunneled host->device path; PCIe hosts are never
+            # transfer-bound, and there 8-bit is lossless
+            wire_bits = 2 if 2.0 * self.fs > 10e6 else 8
         pack_lut = None
-        if wire_bits in (4, 2):
+        if wire_bits in (4, 2, 1):
             head_u8 = np.fromfile(path, dtype=np.uint8,
                                   count=min(2 * S, n_bytes))
             sigma = float(np.std(head_u8.astype(np.float32) - 127.5))
@@ -424,18 +450,26 @@ class StreamingReceiver:
                 pack_lut = np.clip(np.round(vals / step), -8,
                                    7).astype(np.int8)
                 conv = ("i4", np.float32(step * scale))
-            else:
+            elif wire_bits == 2:
                 # optimal 4-level quantizer: levels (2q+1)*delta,
                 # delta ~= 0.59 sigma, thresholds at {-2, 0, +2} delta
                 delta = max(0.59 * sigma, 0.25)
                 pack_lut = np.clip(np.floor(vals / (2.0 * delta)), -2,
                                    1).astype(np.int8)
                 conv = ("i2", np.float32(delta * scale))
+            else:
+                # sign quantizer: levels +/-delta, delta = E|x| of the
+                # Gaussian = 0.7979 sigma (minimum-MSE 1-bit level);
+                # ~1.96 dB C/N0 cost, an eighth of the bytes
+                delta = max(0.7979 * sigma, 0.25)
+                pack_lut = np.clip(np.floor(vals / (2.0 * delta)), -1,
+                                   0).astype(np.int8)
+                conv = ("i1", np.float32(delta * scale))
         elif wire_bits == 8:
             conv = ("i8", np.float32(off), np.float32(scale))
         else:
             raise ValueError(
-                f"wire_bits must be 8, 4 or 2, got {wire_bits}")
+                f"wire_bits must be 'auto', 8, 4, 2 or 1, got {wire_bits}")
         if wire_bits != 8 and W % (8 // wire_bits):
             raise ValueError(
                 f"wire_bits={wire_bits} needs the segment window "
@@ -485,17 +519,29 @@ class StreamingReceiver:
                 buf.pop(k)                     # keep only seg, seg+1
             if pack_lut is not None:
                 # BLOCK layout to match _ingest's concat unpack: byte j
-                # carries samples {j, j + W/2} (i4) / {j + k*W/4} (i2)
-                q = pack_lut[w.view(np.uint8)]
-                if conv[0] == "i4":
-                    h = W // 2
-                    w = ((q[:, :h] & 15)
-                         | (q[:, h:] << 4)).astype(np.int8)
-                else:                      # i2: four samples per byte
-                    qr = q.reshape(2, 4, W // 4)
-                    w = ((qr[:, 0] & 3) | ((qr[:, 1] & 3) << 2)
-                         | ((qr[:, 2] & 3) << 4)
-                         | (qr[:, 3] << 6)).astype(np.int8)
+                # carries samples {j + k*W*bits/8} — one fused C++ pass
+                # when the native reader is built, numpy fallback below
+                bits = {"i4": 4, "i2": 2, "i1": 1}[conv[0]]
+                from ..native import reader as native_reader
+                if native_reader.quantpack_available():
+                    w = native_reader.quantpack(w, pack_lut, bits)
+                else:
+                    q = pack_lut[w.view(np.uint8)]
+                    if conv[0] == "i4":
+                        h = W // 2
+                        w = ((q[:, :h] & 15)
+                             | (q[:, h:] << 4)).astype(np.int8)
+                    elif conv[0] == "i2":  # four samples per byte
+                        qr = q.reshape(2, 4, W // 4)
+                        w = ((qr[:, 0] & 3) | ((qr[:, 1] & 3) << 2)
+                             | ((qr[:, 2] & 3) << 4)
+                             | (qr[:, 3] << 6)).astype(np.int8)
+                    else:                  # i1: eight sign bits per byte
+                        qr = q.reshape(2, 8, W // 8).view(np.uint8)
+                        acc = np.zeros((2, W // 8), np.uint8)
+                        for k in range(8):
+                            acc |= (qr[:, k] & 1) << k
+                        w = acc.view(np.int8)
             d = jax.device_put(w)          # ONE transfer for both planes
             # force the copy NOW, on this IO worker thread: the runtime
             # defers host->device transfers to the first consumer, which

@@ -295,3 +295,101 @@ def test_pcf_doppler_grid():
     dist = np.abs(probe[:, None] - d[None, :]).min(axis=1)
     assert dist.max() <= 150.0
     assert np.median(dist) <= 50.0
+
+
+def _pcf_stats_case(seed=3):
+    rng = np.random.default_rng(seed)
+    n, nb, nprn = 2048, 10, 8
+    x = cplx.CArray(
+        jnp.asarray(rng.standard_normal((nb, n)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((nb, n)).astype(np.float32)))
+    rep = cplx.CArray(rng.standard_normal((nprn, n)).astype(np.float32),
+                      rng.standard_normal((nprn, n)).astype(np.float32))
+    return x, rep, n
+
+
+def test_pcf_stats_match_surface_reductions():
+    """The in-kernel stats reduction (stats_excl >= 0) reproduces every
+    reduction of the materialized surface: per-row peak, lag argmax
+    (same tie-breaking), circularly-excluded second peak, total and
+    window sums (the checkacquisition statistics, sdracq.c:52-81)."""
+    from gps_jamming_tpu.ops import corr as corr_ops
+
+    x, rep, n = _pcf_stats_case()
+    excl = 4
+    surf = np.asarray(pallas_caf.caf_accumulate_pcf_fused(
+        x, rep, FS, max_doppler_hz=7000.0, precision="f32",
+        interpret=True))
+    max1, arg1, exmax, tot, wsum = [np.asarray(s) for s in
+                                    pallas_caf.caf_accumulate_pcf_fused(
+                                        x, rep, FS, max_doppler_hz=7000.0,
+                                        precision="f32", interpret=True,
+                                        stats_excl=excl)]
+    np.testing.assert_allclose(max1, surf.max(-1), rtol=1e-6)
+    np.testing.assert_array_equal(arg1.astype(int), surf.argmax(-1))
+    rows = surf.reshape(-1, n)
+    pk = rows.argmax(-1)
+    ref_ex = np.asarray(corr_ops.second_peak_excluded(
+        jnp.asarray(rows), jnp.asarray(pk), excl)).reshape(max1.shape)
+    np.testing.assert_allclose(exmax, ref_ex, rtol=1e-6)
+    np.testing.assert_allclose(tot, surf.sum(-1), rtol=1e-4)
+    pos = np.arange(n)
+    dist = np.abs((pos[None, :] - pk[:, None] + n // 2) % n - n // 2)
+    ref_w = np.where(dist <= excl, rows, 0.0).sum(-1).reshape(max1.shape)
+    np.testing.assert_allclose(wsum, ref_w, rtol=1e-4)
+
+
+def test_pcf_stats_peak_only_mode():
+    """stats_excl=-1 skips the exclusion passes: max/arg live, the
+    three exclusion rows are zeros."""
+    x, rep, n = _pcf_stats_case(seed=4)
+    surf = np.asarray(pallas_caf.caf_accumulate_pcf_fused(
+        x, rep, FS, max_doppler_hz=7000.0, precision="f32",
+        interpret=True))
+    max1, arg1, exmax, tot, wsum = [np.asarray(s) for s in
+                                    pallas_caf.caf_accumulate_pcf_fused(
+                                        x, rep, FS, max_doppler_hz=7000.0,
+                                        precision="f32", interpret=True,
+                                        stats_excl=-1)]
+    np.testing.assert_allclose(max1, surf.max(-1), rtol=1e-6)
+    np.testing.assert_array_equal(arg1.astype(int), surf.argmax(-1))
+    assert not exmax.any() and not tot.any() and not wsum.any()
+
+
+def test_acquisition_from_stats_matches_surface_test():
+    """acquisition_test_from_stats == acquisition_test on the same
+    search: identical acquired/code_phase/doppler and matching
+    ratio/C-N0 (the two paths the TPU/non-TPU backends take)."""
+    from gps_jamming_tpu.config import AcquisitionConfig
+    from gps_jamming_tpu.models.receiver import acquisition as acq_mod
+
+    x, rep, n = _pcf_stats_case(seed=5)
+    cfg = AcquisitionConfig()
+    nsampchip = max(int(round(n / 1023.0)), 1)
+    excl = int(cfg.exclude_chips * nsampchip)
+    surf = pallas_caf.caf_accumulate_pcf_fused(
+        x, rep, FS, max_doppler_hz=cfg.doppler_max_hz, precision="f32",
+        interpret=True)
+    stats = pallas_caf.caf_accumulate_pcf_fused(
+        x, rep, FS, max_doppler_hz=cfg.doppler_max_hz, precision="f32",
+        interpret=True, stats_excl=excl)
+    freqs = jnp.asarray(caf.pcf_doppler_hz(FS, n, cfg.doppler_max_hz))
+    a = acq_mod.acquisition_test(surf, freqs, FS, cfg, 5e-3)
+    b = acq_mod.acquisition_test_from_stats(stats, freqs, n, cfg, 5e-3)
+    np.testing.assert_array_equal(np.asarray(a.acquired),
+                                  np.asarray(b.acquired))
+    np.testing.assert_array_equal(np.asarray(a.code_phase),
+                                  np.asarray(b.code_phase))
+    np.testing.assert_array_equal(np.asarray(a.doppler_hz),
+                                  np.asarray(b.doppler_hz))
+    np.testing.assert_allclose(np.asarray(a.peak_ratio),
+                               np.asarray(b.peak_ratio), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.cn0_dbhz),
+                               np.asarray(b.cn0_dbhz), rtol=1e-5)
+
+
+def test_pcf_stats_supported_gates():
+    assert pallas_caf.pcf_stats_supported(2048, 32, 7000.0, 2.048e6)
+    # Galileo E1B: 269 MB of shifted replicas exceeds the inline cap
+    assert not pallas_caf.pcf_stats_supported(16384, 36, 7000.0, 4.096e6)
+    assert not pallas_caf.pcf_stats_supported(10000, 14, 7000.0, 10e6)

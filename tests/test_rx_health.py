@@ -282,3 +282,90 @@ def test_obs_horizon_cleared_on_cn0_reset_and_reassign():
     assert spans[1][2] == res.cn0_epochs.size, \
         ("re-acquired slot was killed by a stale-obs horizon inherited "
          "from the previous occupant", spans)
+
+
+def test_wire1_pack_unpack_roundtrip():
+    """Device unpack of the 1-bit wire (eight sign bits/byte, levels
+    +/-delta) inverts the host pack exactly."""
+    rx = rx_stream.StreamingReceiver(FS, system="gps", n_slots=2,
+                                     segment_s=0.25)
+    rng = np.random.default_rng(6)
+    v = rng.integers(-128, 128, (2, 4096), dtype=np.int8)
+    off, delta = 0.5, 20.0
+    vals = np.arange(256).astype(np.int8).astype(np.float32) + off
+    lut = np.clip(np.floor(vals / (2.0 * delta)), -1, 0).astype(np.int8)
+    q = lut[v.view(np.uint8)]
+    qr = q.reshape(2, 8, q.shape[1] // 8).view(np.uint8)
+    acc = np.zeros((2, q.shape[1] // 8), np.uint8)
+    for k in range(8):
+        acc |= (qr[:, k] & 1) << k
+    packed = acc.view(np.int8)
+
+    import jax.numpy as jnp
+    rx._ingest_conv = ("i1", np.float32(delta))
+    out = rx._ingest(cplx.CArray(jnp.asarray(packed[0]),
+                                 jnp.asarray(packed[1])))
+    want = (2.0 * q.astype(np.float32) + 1.0) * delta
+    np.testing.assert_array_equal(np.asarray(out.re), want[0])
+    np.testing.assert_array_equal(np.asarray(out.im), want[1])
+    # the 1-bit wire is the sign quantizer: exactly two levels
+    assert set(np.unique(want)) <= {-delta, delta}
+    # and the sign of every reconstructed sample matches the source's
+    # (centered) sign
+    src = v.astype(np.float32) + off
+    np.testing.assert_array_equal(want > 0, src > 0)
+
+
+def test_native_quantpack_matches_numpy():
+    """The C++ fused quantize+pack (rdr_quantpack) produces byte-exact
+    wire output vs the numpy reference pack for every wire width."""
+    from gps_jamming_tpu.native import reader as native_reader
+
+    if not native_reader.quantpack_available():
+        pytest.skip("native capture_reader not built")
+    rng = np.random.default_rng(7)
+    w = rng.integers(-128, 128, (2, 1 << 12), dtype=np.int8)
+    W = w.shape[1]
+    vals = np.arange(256).astype(np.int8).astype(np.float32) + 0.5
+
+    lut4 = np.clip(np.round(vals / 3.0), -8, 7).astype(np.int8)
+    q = lut4[w.view(np.uint8)]
+    h = W // 2
+    want4 = ((q[:, :h] & 15) | (q[:, h:] << 4)).astype(np.int8)
+    np.testing.assert_array_equal(
+        native_reader.quantpack(w, lut4, 4), want4)
+
+    lut2 = np.clip(np.floor(vals / 24.0), -2, 1).astype(np.int8)
+    q = lut2[w.view(np.uint8)]
+    qr = q.reshape(2, 4, W // 4)
+    want2 = ((qr[:, 0] & 3) | ((qr[:, 1] & 3) << 2)
+             | ((qr[:, 2] & 3) << 4) | (qr[:, 3] << 6)).astype(np.int8)
+    np.testing.assert_array_equal(
+        native_reader.quantpack(w, lut2, 2), want2)
+
+    lut1 = np.clip(np.floor(vals / 40.0), -1, 0).astype(np.int8)
+    qb = lut1[w.view(np.uint8)].reshape(2, 8, W // 8).view(np.uint8)
+    acc = np.zeros((2, W // 8), np.uint8)
+    for k in range(8):
+        acc |= (qb[:, k] & 1) << k
+    np.testing.assert_array_equal(
+        native_reader.quantpack(w, lut1, 1), acc.view(np.int8))
+
+
+def test_wire_auto_resolution(tmp_path):
+    """wire_bits='auto' resolves by raw byte rate: lossless 8-bit for
+    GPS/Galileo (4.1/8.2 MB/s), 2-bit packing for GLONASS (20 MB/s) —
+    the tunneled-link policy documented in process_file."""
+    rng = np.random.default_rng(8)
+    path = str(tmp_path / "noise.bin")
+    rng.integers(0, 256, 1 << 16, dtype=np.uint8).tofile(path)
+
+    rx = rx_stream.StreamingReceiver(FS, system="gps", n_slots=2,
+                                     segment_s=0.25)
+    rx.process_file(path, wire_bits="auto", max_segments=0)
+    assert rx._ingest_conv[0] == "i8"
+
+    rx_glo = rx_stream.StreamingReceiver(10e6, system="glonass",
+                                         n_slots=2, segment_s=0.25)
+    rx_glo.process_file(path, wire_bits="auto", max_segments=0)
+    assert rx_glo._ingest_conv[0] == "i2"
