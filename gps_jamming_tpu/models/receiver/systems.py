@@ -105,15 +105,17 @@ def glonass_sat_pos_clock(gephs: list[glo.GloEphemeris], t_tx: np.ndarray
     SV-ahead-of-system offset, subtracted like sdrnav_glo.c's taun).
     """
     t_tx = np.asarray(t_tx, np.float64)
-    pos = np.zeros((len(gephs), 3))
-    clk = np.zeros(len(gephs))
-    for i, (g, t) in enumerate(zip(gephs, t_tx)):
-        st = eph_mod.glonass_extrapolate(
-            np.asarray(g.pos_m, np.float64),
-            np.asarray(g.vel_mps, np.float64),
-            np.asarray(g.acc_mps2, np.float64), float(t - g.tb_s))
-        pos[i] = st[:3]
-        clk[i] = -g.tau_s + g.gamma * (t - g.tb_s)
+    # ONE batched RK4 over all satellites (the integrator is fully
+    # vectorized; the former per-sat loop paid 64 tiny-array numpy
+    # dispatches per satellite per PVT epoch — ~60% of the GLONASS
+    # host-decode wall on a 24 s capture)
+    pos0 = np.stack([np.asarray(g.pos_m, np.float64) for g in gephs])
+    vel0 = np.stack([np.asarray(g.vel_mps, np.float64) for g in gephs])
+    acc = np.stack([np.asarray(g.acc_mps2, np.float64) for g in gephs])
+    dt = t_tx - np.array([g.tb_s for g in gephs], np.float64)
+    pos = eph_mod.glonass_extrapolate(pos0, vel0, acc, dt)
+    clk = (np.array([-g.tau_s for g in gephs], np.float64)
+           + np.array([g.gamma for g in gephs], np.float64) * dt)
     return pos, clk
 
 
