@@ -167,8 +167,12 @@ def _receiver_rows():
     def work():
         try:
             from gps_jamming_tpu.runtime import benchmarks as B
+            # 20 s capture = 4 whole segments: the e2e number then
+            # reflects steady-state pipelining rather than the first
+            # window's unavoidable serial upload (a 12 s capture spends
+            # half its wall on startup at GLONASS rates)
             for system in ("gps", "glonass"):
-                r = B.receiver_chain(system, seconds=12.0, segment_s=4.0)
+                r = B.receiver_chain(system, seconds=20.0, segment_s=4.0)
                 out[f"receiver_track_msps_{system}"] = \
                     float(r["track_msamples_per_s"])
                 out[f"receiver_track_realtime_{system}"] = \

@@ -847,7 +847,12 @@ class StreamingReceiver:
                 cands = [i for i in np.argsort(-ratios)
                          if acq[i] and ids[i] not in active]
                 new_idx = cands[: len(free)]
-                acq_next_seg = (seg + 1 if new_idx
+                # search again next segment only when this round left
+                # above-threshold candidates on the table (more sats
+                # than free slots); if every candidate got a slot, the
+                # sky is swept — hold off like a failed search (each
+                # empty search costs a dispatch + fetch round trip)
+                acq_next_seg = (seg + 1 if len(cands) > len(free)
                                 else seg + self.acq_holdoff)
                 if new_idx:
                     t2, c2, o2 = _system_tables(
