@@ -362,10 +362,26 @@ def decode_inav_stream(symbols: np.ndarray, prn: int = 0
     have = []
     anchors: list[tuple[int, float]] = []
     halves: dict[int, np.ndarray] = {}
-    for i in range(s.size - 250 + 1):
-        ok, bits = decode_half_page(s[i:i + 250], max_sync_errors=1)
-        if ok:
-            halves[i] = bits
+    n_off = s.size - 250 + 1
+    if n_off > 0:
+        # vectorized sync scan (both polarities, <=1 hard error) + ONE
+        # batched Viterbi over every candidate body — the same decisions
+        # decode_half_page(max_sync_errors=1) makes per offset, without
+        # a Python call per offset or a trellis run per candidate
+        from numpy.lib.stride_tricks import sliding_window_view
+        hard = (s > 0.5).astype(np.int64)
+        d_pos = (sliding_window_view(hard, 10)[:n_off]
+                 ^ SYNC).sum(axis=-1)
+        cand = np.nonzero(np.minimum(d_pos, 10 - d_pos) <= 1)[0]
+        if cand.size:
+            flip = ((10 - d_pos) < d_pos)[cand]
+            bodies = sliding_window_view(s, 250)[cand][:, 10:]
+            bodies = np.where(flip[:, None], 1.0 - bodies, bodies)
+            deint = (bodies.reshape(-1, 8, 30).transpose(0, 2, 1)
+                     .reshape(cand.size, 240))
+            bits = fec.viterbi_decode_batch(deint, invert_g2=True,
+                                            terminated=True)
+            halves = {int(i): bits[j] for j, i in enumerate(cand)}
     for p1, h1 in sorted(halves.items()):
         h2 = halves.get(p1 + 250)
         if h2 is None or h1[0] != 0 or h2[0] != 1:

@@ -71,6 +71,19 @@ def encode(bits: np.ndarray, invert_g2: bool = True,
     return out
 
 
+# predecessor table: state s' -> its two predecessors and the input u
+# that led s_prev -> s': s' = ((s_prev << 1) | u) & 63; so
+# s_prev in { (s' >> 1), (s' >> 1) | 32 } with u = s' & 1
+_SP = np.arange(_NSTATES)
+_U_IN = (_SP & 1).astype(np.uint8)
+_P0 = _SP >> 1
+_P1 = (_SP >> 1) | (_NSTATES >> 1)
+_O1_P0 = _OUT1[_U_IN, _P0].astype(np.float64)
+_O2_P0 = _OUT2[_U_IN, _P0].astype(np.float64)
+_O1_P1 = _OUT1[_U_IN, _P1].astype(np.float64)
+_O2_P1 = _OUT2[_U_IN, _P1].astype(np.float64)
+
+
 def viterbi_decode(symbols: np.ndarray, invert_g2: bool = True,
                    terminated: bool = True) -> np.ndarray:
     """Hard/soft-decision Viterbi decode of interleaved symbol pairs.
@@ -78,46 +91,49 @@ def viterbi_decode(symbols: np.ndarray, invert_g2: bool = True,
     symbols: (2n,) values in [0, 1] (hard 0/1 or soft probabilities of a
     '1'). Returns the decoded bits (tail stripped when `terminated`).
     """
-    sym = np.asarray(symbols, np.float64).reshape(-1, 2)
-    n = sym.shape[0]
+    return viterbi_decode_batch(
+        np.asarray(symbols, np.float64)[None, :], invert_g2=invert_g2,
+        terminated=terminated)[0]
+
+
+def viterbi_decode_batch(symbols: np.ndarray, invert_g2: bool = True,
+                         terminated: bool = True) -> np.ndarray:
+    """Batched Viterbi over equal-length symbol rows: (B, 2n) -> (B, bits).
+
+    Identical numerics to the single-row decode (same add-compare-select
+    tie-breaking), but the 64-state trellis ops run on (B, 64) arrays —
+    decoding every Galileo half-page candidate of an interval in one call
+    costs a few hundred numpy ops total instead of a few hundred PER
+    candidate (the dominant Galileo host-decode cost before r5)."""
+    sym = np.asarray(symbols, np.float64)
+    nb = sym.shape[0]
+    sym = sym.reshape(nb, -1, 2)
+    n = sym.shape[1]
     if invert_g2:
         sym = sym.copy()
-        sym[:, 1] = 1.0 - sym[:, 1]
+        sym[:, :, 1] = 1.0 - sym[:, :, 1]
 
-    # branch metric: squared distance to expected (o1, o2) per (u, state)
-    pm = np.full(_NSTATES, 1e9)
-    pm[0] = 0.0
-    back = np.empty((n, _NSTATES), np.uint8)      # chosen input bit u
-    prev = np.empty((n, _NSTATES), np.uint8)      # chosen predecessor
-
-    # predecessor table: state s' -> its two predecessors and the input u
-    # that led s_prev -> s': s' = ((s_prev << 1) | u) & 63; so
-    # s_prev in { (s' >> 1), (s' >> 1) | 32 } with u = s' & 1
-    sp = np.arange(_NSTATES)
-    u_in = (sp & 1).astype(np.uint8)
-    p0 = sp >> 1
-    p1 = (sp >> 1) | (_NSTATES >> 1)
-    o1_p0 = _OUT1[u_in, p0].astype(np.float64)
-    o2_p0 = _OUT2[u_in, p0].astype(np.float64)
-    o1_p1 = _OUT1[u_in, p1].astype(np.float64)
-    o2_p1 = _OUT2[u_in, p1].astype(np.float64)
+    pm = np.full((nb, _NSTATES), 1e9)
+    pm[:, 0] = 0.0
+    prev = np.empty((n, nb, _NSTATES), np.uint8)  # chosen predecessor
 
     for i in range(n):
-        r1, r2 = sym[i]
-        bm_p0 = (r1 - o1_p0) ** 2 + (r2 - o2_p0) ** 2
-        bm_p1 = (r1 - o1_p1) ** 2 + (r2 - o2_p1) ** 2
-        cand0 = pm[p0] + bm_p0
-        cand1 = pm[p1] + bm_p1
+        r1 = sym[:, i, 0][:, None]
+        r2 = sym[:, i, 1][:, None]
+        cand0 = pm[:, _P0] + (r1 - _O1_P0) ** 2 + (r2 - _O2_P0) ** 2
+        cand1 = pm[:, _P1] + (r1 - _O1_P1) ** 2 + (r2 - _O2_P1) ** 2
         take1 = cand1 < cand0
         pm = np.where(take1, cand1, cand0)
         prev[i] = take1
-        back[i] = u_in
     # traceback from state 0 when terminated, else best state
-    s = 0 if terminated else int(np.argmin(pm))
-    bits = np.empty(n, np.int64)
+    s = (np.zeros(nb, np.int64) if terminated
+         else pm.argmin(axis=-1).astype(np.int64))
+    bits = np.empty((nb, n), np.int64)
+    rows = np.arange(nb)
+    half = _NSTATES >> 1
     for i in range(n - 1, -1, -1):
-        bits[i] = s & 1
-        s = (s >> 1) | ((_NSTATES >> 1) if prev[i, s] else 0)
+        bits[:, i] = s & 1
+        s = (s >> 1) | np.where(prev[i, rows, s].astype(bool), half, 0)
     if terminated:
-        bits = bits[: n - (K - 1)]
+        bits = bits[:, : n - (K - 1)]
     return bits
