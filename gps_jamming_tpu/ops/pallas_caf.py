@@ -1060,6 +1060,11 @@ def pcf_stats_supported(n: int, n_prn: int, max_doppler_hz: float,
     replicas within the inline-constant cap)."""
     if not supported_pcf(n, n_prn):
         return False
+    n1, n2 = factorization_v3(n)
+    # the segmented roll-trees need power-of-two lane groups, and the
+    # circular-lag arithmetic uses AND masks for power-of-two n
+    if (n1 & (n1 - 1)) or (n & (n - 1)) or (n2 & (n2 - 1)):
+        return False
     bin_hz = sample_rate / n
     n_c = 2 * int(np.floor(max_doppler_hz / bin_hz)) + 1
     return n_prn * n_c * n * 8 <= PCF_HOST_REPLICA_MAX_BYTES
